@@ -1,0 +1,293 @@
+"""Meta-learning Bayesian-optimization driver (the public API layer).
+
+Native re-host of the reference's ``ScaMLGPBO``
+(``/root/reference/scamlgp/optimizer.py:27-185``) plus the relevant surface of
+blackboxopt's ``SingleObjectiveBOTorchOptimizer`` base class it inherits
+(generate/report loop, pending-evaluation accounting, NaN-objective
+filtering, initial random sampling).
+
+Everything numeric happens on device through jitted, bucketed programs:
+target-data buffers are padded to power-of-two capacities with masks, so the
+BO loop triggers recompilation only at bucket boundaries rather than every
+iteration (SURVEY.md section 7.3 "dynamic shapes in the BO loop").
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, Hashable, Iterable, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scamlgp_tpu.bo import acquisition as acq_lib
+from scamlgp_tpu.bo import optimize as acqopt
+from scamlgp_tpu.bo.core import (
+    Evaluation,
+    EvaluationSpecification,
+    Objective,
+    OptimizerError,
+    sort_evaluations,
+)
+from scamlgp_tpu.bo.space import ParameterSpace, impute_nans_with_constant
+from scamlgp_tpu.config import default_dtype
+from scamlgp_tpu.models import gp as gp_lib
+from scamlgp_tpu.models import scamlgp as model_lib
+
+
+def metadata_to_numerical(meta_data: Dict[Hashable, Iterable[Evaluation]],
+                          search_space: ParameterSpace, objective: Objective):
+    """Sorted, unit-cube-encoded, NaN-imputed per-task arrays
+    (``/root/reference/scamlgp/utils.py:72-109``).  Y is loss-oriented:
+    greater-is-better objectives are negated so everything minimizes."""
+    xs, ys, task_ids = [], [], []
+    for task_id in sorted(meta_data.keys(), key=str):
+        evals = sort_evaluations(meta_data[task_id])
+        X = np.stack([
+            impute_nans_with_constant(search_space.to_numerical(e.configuration))
+            for e in evals])
+        y = np.asarray([e.objectives[objective.name] for e in evals],
+                       dtype=np.float64)
+        if objective.greater_is_better:
+            y = -y
+        xs.append(X)
+        ys.append(y)
+        task_ids.append(task_id)
+    return task_ids, xs, ys
+
+
+def _next_capacity(n: int, minimum: int = 8) -> int:
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class SingleObjectiveOptimizer:
+    """Minimal blackboxopt-compatible base (generate/report surface)."""
+
+    def __init__(self, search_space: ParameterSpace, objective: Objective,
+                 seed: Optional[int] = None):
+        self.search_space = search_space.copy()
+        self.objective = objective
+        self.seed = seed
+        if seed is not None:
+            self.search_space.seed(seed)
+
+    def generate_evaluation_specification(self) -> EvaluationSpecification:
+        raise NotImplementedError
+
+    def report(self, evaluations) -> None:
+        raise NotImplementedError
+
+
+class ScaMLGPBO(SingleObjectiveOptimizer):
+    def __init__(
+        self,
+        search_space: ParameterSpace,
+        objective: Objective,
+        meta_data: Dict[Hashable, Iterable[Evaluation]],
+        gp_likelihood=None,
+        gp_kernel: Optional[gp_lib.GPConfig] = None,
+        base_gp_kernel: Optional[gp_lib.GPConfig] = None,
+        acquisition_function_factory: Optional[Callable] = None,
+        af_optimizer_kwargs: Optional[dict] = None,
+        num_initial_random_samples: int = 0,
+        max_pending_evaluations: Optional[int] = 1,
+        num_restarts_log_likelihood: int = 5,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+        logger: Optional[logging.Logger] = None,
+        seed: Optional[int] = None,
+        dtype=None,
+        num_fit_steps: int = 60,
+    ):
+        r"""Single-objective meta-learning BO with ScaML-GP as surrogate.
+
+        Mirrors the reference constructor contract
+        (``/root/reference/scamlgp/optimizer.py:28-154``): converts meta-data
+        to numerical form, meta-fits one source GP per task (here: one batched
+        vmapped fit), builds the target model on empty data, and defaults the
+        acquisition to UCB(beta=9) for minimization with
+        ``num_initial_random_samples=0`` and ``max_pending_evaluations=1``.
+
+        Args:
+            search_space: the space to optimize over.
+            objective: objective name + direction.
+            meta_data: ``{task_id: [Evaluation, ...]}`` source observations.
+            gp_kernel: target GP config (reference ``gp_kernel``).
+            base_gp_kernel: source GP config (reference ``base_gp_kernel``).
+            acquisition_function_factory: callable returning an
+                ``AcquisitionFunction`` (defaults to UCB(9), minimize).
+            af_optimizer_kwargs: settings for the on-device multi-start
+                acquisition ascent (raw_samples, num_restarts, num_steps, lr).
+            num_initial_random_samples: size of the random initial design.
+            max_pending_evaluations: max parallel proposals (1 = sequential).
+            num_restarts_log_likelihood: prior-sampled restarts on top of the
+                warm start for every (re)fit.
+            seed: master seed; all on-device randomness derives from it.
+            dtype: working dtype; defaults to f64 when x64 is enabled.
+        """
+        super().__init__(search_space, objective, seed)
+        self.logger = logger or logging.getLogger("scamlgp_tpu")
+        self.dtype = dtype or default_dtype()
+        self.num_initial_random = num_initial_random_samples
+        self.max_pending_evaluations = max_pending_evaluations
+        self.num_restarts_log_likelihood = num_restarts_log_likelihood
+        self.num_fit_steps = num_fit_steps
+        self.model_kwargs = model_kwargs or {}
+        self.af_optimizer_kwargs = dict(af_optimizer_kwargs or {})
+        self._af_factory = acquisition_function_factory
+        self._n_features = len(self.search_space)
+
+        self._key = jax.random.PRNGKey(0 if seed is None else seed)
+        self._pending = 0
+        self._num_generated = 0
+        self.X: List[np.ndarray] = []       # numeric configs, arrival order
+        self.losses: List[float] = []       # NaN = unknown objective
+
+        # --- meta fit (call stack 3.1) ---------------------------------
+        self.source_cfg = base_gp_kernel or gp_lib.source_gp_config()
+        self.target_cfg = gp_kernel or gp_lib.target_gp_config()
+        task_ids, xs, ys = metadata_to_numerical(
+            meta_data, self.search_space, objective)
+        self.task_ids = task_ids
+        key_meta, self._key = jax.random.split(self._key)
+        self.source_gps, _ = model_lib.meta_fit_scamlgp(
+            xs, ys, key=key_meta, cfg=self.source_cfg,
+            num_restarts_log_likelihood=num_restarts_log_likelihood,
+            num_steps=num_fit_steps, dtype=self.dtype)
+
+        # --- target model on empty data (optimizer.py:135-141) ---------
+        self.model = self._build_model(
+            np.zeros((0, self._n_features)), np.zeros((0,)), params=None)
+
+    # ------------------------------------------------------------------
+    def _build_model(self, X: np.ndarray, y: np.ndarray,
+                     params) -> model_lib.ScaMLGP:
+        n = X.shape[0]
+        cap = _next_capacity(max(n, 1))
+        Xp = np.zeros((cap, self._n_features))
+        yp = np.zeros((cap,))
+        mp = np.zeros((cap,))
+        Xp[:n] = X
+        yp[:n] = y
+        mp[:n] = 1.0
+        return model_lib.build_scamlgp(
+            self.source_gps, self.source_cfg,
+            jnp.asarray(Xp, self.dtype), jnp.asarray(yp, self.dtype),
+            jnp.asarray(mp, self.dtype), target_cfg=self.target_cfg,
+            params=params, **self.model_kwargs)
+
+    def _acquisition(self) -> acq_lib.AcquisitionFunction:
+        if self._af_factory is None:
+            return acq_lib.UpperConfidenceBound()
+        af = self._af_factory
+        return af() if isinstance(af, type) else af
+
+    # ------------------------------------------------------------------
+    def generate_evaluation_specification(self) -> EvaluationSpecification:
+        """Propose the next configuration (reference call stack 3.2)."""
+        if (self.max_pending_evaluations is not None
+                and self._pending >= self.max_pending_evaluations):
+            raise OptimizerError(
+                f"Maximum number of pending evaluations "
+                f"({self.max_pending_evaluations}) reached.")
+
+        if len(self.X) < self.num_initial_random or self._n_features == 0:
+            config = self.search_space.sample()
+            optional_info = {"model_based_pick": False}
+        else:
+            af = self._acquisition()
+            best_f = None
+            finite = [l for l in self.losses if np.isfinite(l)]
+            if finite:
+                best_f = jnp.asarray(min(finite), self.dtype)
+            model = self.model
+            source_cfg, target_cfg = self.source_cfg, self.target_cfg
+
+            def acq_value(x):
+                mean, var = model_lib.scamlgp_posterior_diag(
+                    model, source_cfg, target_cfg, x[None, :],
+                    original_scale=True)
+                return af(mean[0], var[0], best_f)[()] if False else af(
+                    mean[0], var[0], best_f)
+
+            self._key, k_af = jax.random.split(self._key)
+            res = acqopt.optimize_acqf(
+                acq_value, self._n_features, k_af,
+                dtype=self.dtype, **self.af_optimizer_kwargs)
+            vec = impute_nans_with_constant(np.asarray(res.x, np.float64))
+            config = self.search_space.from_numerical(vec)
+            optional_info = {"model_based_pick": True}
+
+        self._pending += 1
+        self._num_generated += 1
+        return EvaluationSpecification(configuration=config,
+                                       optional_info=optional_info)
+
+    # ------------------------------------------------------------------
+    def report(self, evaluations: Union[Evaluation, Iterable[Evaluation]]
+               ) -> None:
+        """Ingest observations and refit the target model (reference
+        ``report`` — ``optimizer.py:156-185``)."""
+        _evals = (list(evaluations)
+                  if isinstance(evaluations, (list, tuple)) else [evaluations])
+        for e in _evals:
+            vec = impute_nans_with_constant(
+                self.search_space.to_numerical(e.configuration))
+            val = e.objectives.get(self.objective.name)
+            loss = np.nan if val is None else float(val)
+            if self.objective.greater_is_better and np.isfinite(loss):
+                loss = -loss
+            self.X.append(vec)
+            self.losses.append(loss)
+            self._pending = max(0, self._pending - 1)
+
+        if len(self.X) < self.num_initial_random:
+            return
+
+        # deterministic fit data regardless of report order
+        order = sorted(range(len(self.X)),
+                       key=lambda i: (self.X[i].tobytes(), self.losses[i]))
+        X = np.stack([self.X[i] for i in order]) if self.X else np.zeros(
+            (0, self._n_features))
+        y = np.asarray([self.losses[i] for i in order])
+
+        # filter unknown objectives (filter_y_nans — optimizer.py:171-174)
+        keep = np.isfinite(y)
+        if keep.sum() == 0:
+            return
+        Xf, yf = X[keep], y[keep]
+
+        # warm start: reuse fitted kernel/noise, reset weights to 1/M —
+        # the reference rebuilds ScaMLGP reusing likelihood/covar modules,
+        # which recreates raw_weights at 1/M (optimizer.py:176-183,
+        # model.py:318-321).
+        m = self.model.num_tasks
+        warm = model_lib.TargetParams(
+            raw_weights=model_lib.weights_inverse(
+                jnp.full((m,), 1.0 / m, self.dtype)),
+            gp=self.model.params.gp)
+        self.model = self._build_model(Xf, yf, params=warm)
+
+        self._key, k_fit = jax.random.split(self._key)
+        self.model = model_lib.fit_scamlgp(
+            self.model, self.target_cfg, k_fit,
+            num_restarts=self.num_restarts_log_likelihood,
+            num_steps=self.num_fit_steps)
+
+    # ------------------------------------------------------------------
+    def predict(self, configurations: Iterable[Dict[str, Any]]):
+        """Posterior (mean, std) of the loss at the given configurations —
+        convenience for analysis; original objective scale."""
+        X = np.stack([
+            impute_nans_with_constant(self.search_space.to_numerical(c))
+            for c in configurations])
+        mean, var = model_lib.scamlgp_posterior_diag(
+            self.model, self.source_cfg, self.target_cfg,
+            jnp.asarray(X, self.dtype))
+        mean = np.asarray(mean)
+        if self.objective.greater_is_better:
+            mean = -mean
+        return mean, np.sqrt(np.asarray(var))

@@ -1,0 +1,136 @@
+"""Single-task GP layer: constraints, priors, standardize, fit."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import stats
+
+from scamlgp_tpu.models import fit as fit_lib
+from scamlgp_tpu.models import gp
+from scamlgp_tpu.utils.constraints import GreaterThan, Interval
+from scamlgp_tpu.utils.priors import Gamma, LogNormal
+from scamlgp_tpu.utils.standardize import fit_standardize
+
+
+def test_interval_roundtrip_and_bounds():
+    c = Interval(1e-8, 1e-2, 1e-3)
+    for v in [1e-8 + 1e-12, 1e-6, 1e-3, 1e-2 - 1e-10]:
+        raw = c.inverse(jnp.asarray(v))
+        assert abs(float(c.forward(raw)) - v) < 1e-9
+    assert float(c.forward(jnp.asarray(-100.0))) >= 1e-8
+    assert float(c.forward(jnp.asarray(100.0))) <= 1e-2
+
+
+def test_greater_than_roundtrip():
+    c = GreaterThan(1e-10)
+    for v in [1e-9, 0.5, 10.0]:
+        raw = c.inverse(jnp.asarray(v))
+        assert abs(float(c.forward(raw)) - v) < 1e-9
+
+
+def test_gamma_prior_matches_scipy():
+    p = Gamma(3.0, 6.0)
+    for v in [0.1, 0.5, 2.0]:
+        ref = stats.gamma.logpdf(v, a=3.0, scale=1 / 6.0)
+        assert abs(float(p.log_prob(jnp.asarray(v))) - ref) < 1e-9
+
+
+def test_lognormal_prior_matches_scipy():
+    p = LogNormal(-2.0, 3.0)
+    for v in [0.01, 0.5, 4.0]:
+        ref = stats.lognorm.logpdf(v, s=3.0, scale=np.exp(-2.0))
+        assert abs(float(p.log_prob(jnp.asarray(v))) - ref) < 1e-9
+
+
+def test_prior_sampling_moments(rng):
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+    s = Gamma(2.0, 0.15).sample(key, (200_000,))
+    # Gamma(2, 0.15): mean = a/b
+    assert abs(float(jnp.mean(s)) - 2.0 / 0.15) < 0.3
+
+
+def test_standardize_masked_matches_numpy(rng):
+    y = rng.normal(2.0, 3.0, size=12)
+    yp = np.concatenate([y, np.full(4, 1e6)])
+    mask = np.concatenate([np.ones(12), np.zeros(4)])
+    tr = fit_standardize(jnp.asarray(yp), jnp.asarray(mask))
+    assert abs(float(tr.mean) - y.mean()) < 1e-9
+    assert abs(float(tr.std) - y.std(ddof=1)) < 1e-9
+
+
+def test_standardize_degenerate_cases():
+    tr = fit_standardize(jnp.zeros(4), jnp.zeros(4))
+    assert float(tr.mean) == 0.0 and float(tr.std) == 1.0
+    tr1 = fit_standardize(jnp.asarray([5.0, 0.0]), jnp.asarray([1.0, 0.0]))
+    assert float(tr1.mean) == 5.0 and float(tr1.std) == 1.0
+
+
+def test_init_params_match_reference_initial_values():
+    """gpytorch initial values: source ls 0.5, os 1.0, noise 1e-3
+    (reference model.py:52-56,64-68,31)."""
+    cfg = gp.source_gp_config()
+    c = gp.constrain(cfg, gp.init_params(cfg, 3, jnp.float64))
+    np.testing.assert_allclose(np.asarray(c.lengthscale), 0.5, rtol=1e-6)
+    assert abs(float(c.outputscale) - 1.0) < 1e-6
+    assert abs(float(c.noise) - 1e-3) < 1e-9
+
+    tcfg = gp.target_gp_config()
+    ct = gp.constrain(tcfg, gp.init_params(tcfg, 2, jnp.float64))
+    np.testing.assert_allclose(np.asarray(ct.lengthscale), 1.0, rtol=1e-6)
+    assert abs(float(ct.outputscale) - 0.1) < 1e-6
+
+
+def test_fit_recovers_noise_level(rng):
+    """MAP fit on data from a known GP recovers the noise scale."""
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+    n, d = 64, 1
+    X = jnp.asarray(rng.uniform(size=(n, d)))
+    true_noise = 3e-3
+    f = jnp.sin(6.0 * X[:, 0])
+    y = f + jnp.asarray(rng.normal(size=n)) * jnp.sqrt(true_noise)
+    y = (y - y.mean()) / y.std()
+
+    cfg = gp.source_gp_config()
+    warm = gp.init_params(cfg, d, jnp.float64)
+    sampled = jax.vmap(lambda k: gp.sample_params(cfg, k, d, jnp.float64))(
+        jax.random.split(key, 5))
+    res = fit_lib.fit_map_restarts(
+        lambda p: gp.map_objective(cfg, p, X, y),
+        fit_lib.stack_restarts(warm, sampled), num_steps=60)
+    c = gp.constrain(cfg, res.params)
+    assert np.isfinite(float(res.objective))
+    # noise within an order of magnitude (standardization rescales it)
+    assert 1e-5 < float(c.noise) < 5e-2
+    # the fit improved on all random restarts' final values
+    assert float(res.objective) == float(jnp.min(res.all_objectives))
+
+
+def test_fit_masked_equals_dense(rng):
+    """Fitting padded+masked data gives the same optimum as dense data."""
+    key = jax.random.PRNGKey(12345)
+    n, d = 20, 2
+    X = jnp.asarray(rng.uniform(size=(n, d)))
+    y = jnp.asarray(np.sin(3 * np.asarray(X[:, 0])) +
+                    rng.normal(size=n) * 0.05)
+    y = (y - y.mean()) / y.std()
+    cfg = gp.source_gp_config()
+    warm = gp.init_params(cfg, d, jnp.float64)
+    sampled = jax.vmap(lambda k: gp.sample_params(cfg, k, d, jnp.float64))(
+        jax.random.split(key, 3))
+    stack = fit_lib.stack_restarts(warm, sampled)
+
+    dense = fit_lib.fit_map_restarts(
+        lambda p: gp.map_objective(cfg, p, X, y), stack, num_steps=50)
+
+    pad = 12
+    Xp = jnp.concatenate([X, jnp.zeros((pad, d))])
+    yp = jnp.concatenate([y, jnp.zeros(pad)])
+    mask = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)])
+    masked = fit_lib.fit_map_restarts(
+        lambda p: gp.map_objective(cfg, p, Xp, yp, mask), stack, num_steps=50)
+
+    assert abs(float(dense.objective) - float(masked.objective)) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(gp.constrain(cfg, dense.params).lengthscale),
+        np.asarray(gp.constrain(cfg, masked.params).lengthscale), rtol=1e-2)
