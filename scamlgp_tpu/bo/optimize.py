@@ -2,19 +2,26 @@
 
 The reference relies on botorch ``optimize_acqf`` (multi-start scipy L-BFGS-B
 over the unit cube — reference call stack 3.2, ``optimizer.py:99-100``).
-TPU-native redesign: a Sobol/uniform raw-sample sweep picks the top-k starts,
-then all starts run projected Adam ascent in lock-step under one ``vmap`` —
-one compiled program, no host round-trips, fully deterministic given the key.
+TPU-native redesign: a scrambled-Sobol raw-sample sweep picks the top-k
+starts, then all starts run projected Adam ascent in lock-step under one
+``vmap`` — one compiled program, no host round-trips, deterministic given the
+key.
+
+Compilation hygiene: the acquisition is passed as a *static top-level
+function* ``value_fn(args, x)`` plus a *traced pytree* ``args`` (model state,
+incumbent, ...).  The jit cache then keys on (value_fn, shapes) and the BO
+loop only recompiles at data-capacity bucket boundaries, never per iteration.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from scipy.stats import qmc
 
 
@@ -23,76 +30,76 @@ class AcqOptResult(NamedTuple):
     value: jnp.ndarray      # () acquisition value at x
 
 
-def _sobol_unit(key, n: int, d: int, dtype) -> jnp.ndarray:
-    """Scrambled Sobol raw samples; seeded from the JAX key for determinism."""
-    seed = int(jax.random.randint(key, (), 0, np.iinfo(np.int32).max))
+def sobol_unit(seed: int, n: int, d: int, dtype) -> jnp.ndarray:
+    """Host-side scrambled Sobol raw samples (scipy QMC, like the reference's
+    meta-data sobol path — ``benchmarks/base.py:212``)."""
     eng = qmc.Sobol(d=d, scramble=True, seed=seed)
     return jnp.asarray(eng.random(n), dtype=dtype)
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
-def _ascend(acq_value: Callable, starts, num_steps: int, lr: float,
-            use_sigmoid: bool, unused=None):
-    """Projected gradient ascent from a stack of starts.
+def _logit(x):
+    x = jnp.clip(x, 1e-6, 1.0 - 1e-6)
+    return jnp.log(x) - jnp.log1p(-x)
 
-    Reparametrize x = sigmoid(z) so the box constraint disappears and the
-    whole multi-start optimization is a single vmapped scan.
-    """
 
-    def logit(x):
-        x = jnp.clip(x, 1e-6, 1.0 - 1e-6)
-        return jnp.log(x) - jnp.log1p(-x)
+@partial(jax.jit, static_argnames=("value_fn", "static_args", "num_restarts",
+                                   "num_steps", "lr"))
+def _optimize(value_fn: Callable, static_args: Any, args: Any,
+              raw: jnp.ndarray,
+              num_restarts: int, num_steps: int, lr: float) -> AcqOptResult:
+    # 1) raw sweep
+    raw_vals = jax.lax.map(lambda x: value_fn(static_args, args, x), raw)
+    raw_vals = jnp.where(jnp.isfinite(raw_vals), raw_vals, -jnp.inf)
+    starts = raw[jax.lax.top_k(raw_vals, num_restarts)[1]]
+
+    # 2) multi-start ascent, x = sigmoid(z) removes the box constraint
+    opt = optax.adam(lr)
+
+    def neg(z):
+        return -value_fn(static_args, args, jax.nn.sigmoid(z))
 
     def one_start(x0):
-        z0 = logit(x0)
-
-        def neg_acq(z):
-            return -acq_value(jax.nn.sigmoid(z))
-
-        import optax
-        opt = optax.adam(lr)
+        z0 = _logit(x0)
 
         def step(carry, _):
             z, s, best_z, best_v = carry
-            v, g = jax.value_and_grad(neg_acq)(z)
+            v, g = jax.value_and_grad(neg)(z)
             updates, s = opt.update(g, s, z)
             z_new = optax.apply_updates(z, updates)
             better = jnp.isfinite(v) & (v < best_v)
             best_z = jnp.where(better, z, best_z)
             best_v = jnp.where(better, v, best_v)
-            return (z_new, s, best_z, best_v), v
+            return (z_new, s, best_z, best_v), None
 
-        s0 = opt.init(z0)
         (zf, _, best_z, best_v), _ = jax.lax.scan(
-            step, (z0, s0, z0, jnp.asarray(jnp.inf, x0.dtype)), None,
-            length=num_steps)
-        vf = neg_acq(zf)
-        final_better = jnp.isfinite(vf) & (vf < best_v)
-        best_z = jnp.where(final_better, zf, best_z)
-        best_v = jnp.where(final_better, vf, best_v)
-        return jax.nn.sigmoid(best_z), -best_v
+            step, (z0, opt.init(z0), z0, jnp.asarray(jnp.inf, x0.dtype)),
+            None, length=num_steps)
+        vf = neg(zf)
+        better = jnp.isfinite(vf) & (vf < best_v)
+        return (jnp.where(better, zf, best_z),
+                jnp.where(better, vf, best_v))
 
-    return jax.vmap(one_start)(starts)
+    zs, negvals = jax.vmap(one_start)(starts)
+    vals = jnp.where(jnp.isfinite(negvals), -negvals, -jnp.inf)
+    best = jnp.argmax(vals)
+    return AcqOptResult(x=jax.nn.sigmoid(zs[best]), value=vals[best])
 
 
-def optimize_acqf(acq_value: Callable, d: int, key,
-                  raw_samples: int = 1024, num_restarts: int = 8,
+def optimize_acqf(value_fn: Callable, static_args: Any, args: Any, d: int,
+                  key, raw_samples: int = 1024, num_restarts: int = 8,
                   num_steps: int = 50, lr: float = 0.05,
                   dtype=jnp.float64) -> AcqOptResult:
-    """Maximize ``acq_value: (d,) -> ()`` over the unit cube.
+    """Maximize ``value_fn(static_args, args, x)`` over the unit cube.
 
     Args:
-        acq_value: jittable acquisition evaluated at a single point.
-        d: dimensionality.
-        key: PRNG key — the only source of randomness (determinism contract).
+        value_fn: static, hashable (top-level) function of
+            (static_args, args, (d,)-point) -> scalar.
+        static_args: hashable configuration (acquisition object, GP configs).
+        args: traced pytree (model state, incumbent, ...).
+        key: PRNG key — sole randomness source (determinism contract,
+            reference ``testing.py:50-100``).
     """
-    k_raw, k_jitter = jax.random.split(key)
-    raw = _sobol_unit(k_raw, raw_samples, d, dtype)
-    raw_vals = jax.lax.map(jax.vmap(acq_value), raw.reshape(8, -1, d)).reshape(-1)
-    raw_vals = jnp.where(jnp.isfinite(raw_vals), raw_vals, -jnp.inf)
-    top = jax.lax.top_k(raw_vals, num_restarts)[1]
-    starts = raw[top]
-    xs, vals = _ascend(acq_value, starts, num_steps, lr, True)
-    vals = jnp.where(jnp.isfinite(vals), vals, -jnp.inf)
-    best = jnp.argmax(vals)
-    return AcqOptResult(x=xs[best], value=vals[best])
+    seed = int(jax.random.randint(key, (), 0, np.iinfo(np.int32).max))
+    raw = sobol_unit(seed, raw_samples, d, dtype)
+    return _optimize(value_fn, static_args, args, raw, num_restarts,
+                     num_steps, lr)

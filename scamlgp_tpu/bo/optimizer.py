@@ -57,6 +57,15 @@ def metadata_to_numerical(meta_data: Dict[Hashable, Iterable[Evaluation]],
     return task_ids, xs, ys
 
 
+def _acq_value(static_args, args, x):
+    """Acquisition value at a single point (top-level for stable jit cache)."""
+    source_cfg, target_cfg, af = static_args
+    model, best_f = args
+    mean, var = model_lib.scamlgp_posterior_diag(
+        model, source_cfg, target_cfg, x[None, :], original_scale=True)
+    return af(mean[0], var[0], best_f)
+
+
 def _next_capacity(n: int, minimum: int = 8) -> int:
     cap = minimum
     while cap < n:
@@ -199,23 +208,12 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
             optional_info = {"model_based_pick": False}
         else:
             af = self._acquisition()
-            best_f = None
             finite = [l for l in self.losses if np.isfinite(l)]
-            if finite:
-                best_f = jnp.asarray(min(finite), self.dtype)
-            model = self.model
-            source_cfg, target_cfg = self.source_cfg, self.target_cfg
-
-            def acq_value(x):
-                mean, var = model_lib.scamlgp_posterior_diag(
-                    model, source_cfg, target_cfg, x[None, :],
-                    original_scale=True)
-                return af(mean[0], var[0], best_f)[()] if False else af(
-                    mean[0], var[0], best_f)
-
+            best_f = jnp.asarray(min(finite) if finite else np.inf, self.dtype)
             self._key, k_af = jax.random.split(self._key)
             res = acqopt.optimize_acqf(
-                acq_value, self._n_features, k_af,
+                _acq_value, (self.source_cfg, self.target_cfg, af),
+                (self.model, best_f), self._n_features, k_af,
                 dtype=self.dtype, **self.af_optimizer_kwargs)
             vec = impute_nans_with_constant(np.asarray(res.x, np.float64))
             config = self.search_space.from_numerical(vec)

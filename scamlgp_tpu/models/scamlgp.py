@@ -27,6 +27,7 @@ TPU-first redesign vs the reference:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -110,6 +111,7 @@ def validate_meta_data(xs, ys) -> None:
             raise ValueError(f"X/Y length mismatch in task {i}.")
 
 
+@partial(jax.jit, static_argnames=("cfg", "num_restarts", "num_steps"))
 def meta_fit_task_stack(data: TaskData, cfg: gp.GPConfig, key,
                         num_restarts: int = 5,
                         num_steps: int = 60) -> SourceStack:
@@ -320,6 +322,7 @@ def scamlgp_map_objective(model: ScaMLGP, target_cfg: gp.GPConfig,
                             prior_cov=prior_cov, extra_log_prior=extra)
 
 
+@partial(jax.jit, static_argnames=("target_cfg", "num_restarts", "num_steps"))
 def fit_scamlgp(model: ScaMLGP, target_cfg: gp.GPConfig, key,
                 num_restarts: int = 5, num_steps: int = 60) -> ScaMLGP:
     """Refit weights + residual kernel + noise with warm start and

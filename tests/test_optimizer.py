@@ -1,0 +1,77 @@
+"""ScaMLGPBO integration tests (reference ``tests/optimizer_test.py:25-97``).
+
+Runs the imported conformance suites exactly like the reference parametrizes
+over blackboxopt's ``ALL_REFERENCE_TESTS`` + ``META_OPTIMIZER_REFERENCE_TESTS``.
+"""
+
+import numpy as np
+import pytest
+
+from scamlgp_tpu import testing as conformance
+from scamlgp_tpu.bo.core import Evaluation, Objective, OptimizerError
+from scamlgp_tpu.bo.optimizer import ScaMLGPBO
+from scamlgp_tpu.bo.space import ContinuousParameter, ParameterSpace
+
+FAST_KWARGS = dict(
+    num_restarts_log_likelihood=2,
+    num_fit_steps=30,
+    af_optimizer_kwargs={"raw_samples": 256, "num_restarts": 4,
+                         "num_steps": 25},
+)
+
+
+@pytest.mark.parametrize(
+    "reference_test",
+    conformance.ALL_REFERENCE_TESTS + conformance.META_OPTIMIZER_REFERENCE_TESTS,
+    ids=lambda t: t.__name__)
+def test_reference_suite(reference_test, seed):
+    kwargs = dict(FAST_KWARGS)
+    kwargs["meta_data"] = conformance.META_DATA_1D
+    reference_test(ScaMLGPBO, kwargs, seed)
+
+
+def test_max_pending_evaluations(seed):
+    space = ParameterSpace()
+    space.add(ContinuousParameter("x0", (0.5, 3)))
+    opt = ScaMLGPBO(space, Objective("loss", False),
+                    conformance.META_DATA_1D, seed=seed, **FAST_KWARGS)
+    opt.generate_evaluation_specification()
+    with pytest.raises(OptimizerError, match="pending"):
+        opt.generate_evaluation_specification()
+
+
+def test_none_objective_keeps_all_evals_trains_on_subset(seed):
+    """5-step loop with one None objective: optimizer retains all n
+    evaluations, model trains on n-1 (reference optimizer_test.py:56-97)."""
+    space = ParameterSpace()
+    space.add(ContinuousParameter("x0", (0.5, 3)))
+    opt = ScaMLGPBO(space, Objective("loss", False),
+                    conformance.META_DATA_1D, seed=seed, **FAST_KWARGS)
+    for i in range(5):
+        es = opt.generate_evaluation_specification()
+        loss = None if i == 2 else conformance._run_experiment_1d_deterministic(
+            **es.configuration)
+        opt.report(es.create_evaluation(objectives={"loss": loss}))
+    assert len(opt.X) == 5
+    assert int(np.sum(opt.model.train_mask)) == 4
+
+
+def test_greater_is_better_objective(seed):
+    """Maximization objectives are negated into losses internally."""
+    space = ParameterSpace()
+    space.add(ContinuousParameter("x0", (0.5, 3)))
+    meta = {
+        "t": [Evaluation(configuration={"x0": x},
+                         objectives={"score": -conformance.
+                                     _run_experiment_1d_deterministic(x)})
+              for x in (0.8, 1.5, 2.2, 2.9)]
+    }
+    opt = ScaMLGPBO(space, Objective("score", True), meta, seed=seed,
+                    **FAST_KWARGS)
+    for _ in range(3):
+        es = opt.generate_evaluation_specification()
+        score = -conformance._run_experiment_1d_deterministic(
+            **es.configuration)
+        opt.report(es.create_evaluation(objectives={"score": score}))
+    mean, std = opt.predict([{"x0": 1.56}])
+    assert np.isfinite(mean[0]) and std[0] > 0
