@@ -1,0 +1,138 @@
+"""End-to-end mini study: runner, experiment hashing, result persistence,
+regret analytics (reference ``tests/benchmarking/base_test.py`` +
+``utils_test.py`` + the submit/visualize path)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from scamlgp_tpu.benchmarking.benchmarks import Quadratic
+from scamlgp_tpu.benchmarking.experiment_config_utils import (
+    Experiment,
+    hash_experiment_config,
+    parse_experiment_config,
+)
+from scamlgp_tpu.benchmarking.local_runner import main as runner_main
+from scamlgp_tpu.benchmarking.local_runner import run_study
+from scamlgp_tpu.benchmarking.noise.homoscedastic import (
+    HomoscedasticGaussianNoise,
+)
+from scamlgp_tpu.benchmarking.plotting import compute_regrets
+from scamlgp_tpu.benchmarking.utils import (
+    get_benchmarks,
+    get_benchmarks_with_output_dimensions,
+    get_benchmarks_with_search_space_dimensions,
+)
+from scamlgp_tpu.bo.core import Objective
+from scamlgp_tpu.bo.optimizer import ScaMLGPBO
+
+FAST_OPT = {
+    "cls": ScaMLGPBO,
+    "kwargs": {
+        "num_restarts_log_likelihood": 1,
+        "num_fit_steps": 20,
+        "af_optimizer_kwargs": {"raw_samples": 128, "num_restarts": 2,
+                                "num_steps": 15},
+    },
+}
+
+
+def test_benchmark_discovery():
+    names = {b.__name__ for b in get_benchmarks()}
+    assert {"Branin", "Hartmann3D", "Hartmann6D", "Quadratic"} <= names
+    assert any(b.__name__ == "Quadratic"
+               for b in get_benchmarks_with_search_space_dimensions(1))
+    assert any(b.__name__ == "Branin"
+               for b in get_benchmarks_with_search_space_dimensions(2))
+    assert len(get_benchmarks_with_output_dimensions(1)) >= 4
+
+
+def test_experiment_hash_semantics():
+    e1 = Experiment(optimizer=ScaMLGPBO, benchmark=Quadratic,
+                    n_evaluations=5, n_studies=2, compute="PARALLEL")
+    e2 = Experiment(optimizer=ScaMLGPBO, benchmark=Quadratic,
+                    n_evaluations=5, n_studies=2, compute="LOCAL")
+    # compute excluded from the fingerprint
+    assert hash_experiment_config(e1) == hash_experiment_config(e2)
+    assert e1 == e2
+    e3 = Experiment(optimizer=ScaMLGPBO, benchmark=Quadratic,
+                    n_evaluations=6, n_studies=2, compute="PARALLEL")
+    assert e1 != e3
+    assert len(hash_experiment_config(e1, short=True)) == 7
+    # data paths excluded
+    e4 = Experiment(optimizer=ScaMLGPBO,
+                    benchmark={"cls": Quadratic,
+                               "kwargs": {"data_dir": "/a/b"}},
+                    n_evaluations=5, n_studies=2, compute="X")
+    e5 = Experiment(optimizer=ScaMLGPBO,
+                    benchmark={"cls": Quadratic,
+                               "kwargs": {"data_dir": "/c/d"}},
+                    n_evaluations=5, n_studies=2, compute="X")
+    assert hash_experiment_config(e4) == hash_experiment_config(e5)
+
+
+def test_parse_experiment_config_simple_types():
+    parsed = parse_experiment_config(
+        {"cls": Quadratic, "n": "3", "x": "1.5", "s": "abc",
+         "nested": [Quadratic, 2]})
+    assert parsed["cls"].endswith("benchmarks.quadratic.Quadratic")
+    assert parsed["n"] == 3
+    assert parsed["x"] == 1.5
+    assert parsed["s"] == "abc"
+    assert parsed["nested"][0].endswith("Quadratic")
+
+
+def test_run_study_noisy_records_both_objectives():
+    result = run_study(
+        optimizer_cls=FAST_OPT["cls"], optimizer_kwargs=FAST_OPT["kwargs"],
+        benchmark_cls=Quadratic,
+        benchmark_kwargs={"n_data_per_task": [6] * 2},
+        max_evaluations=3, study_seed=0,
+        noise_spec=HomoscedasticGaussianNoise({"loss": 0.3}))
+    assert result["seed"] == 0
+    assert len(result["evaluations"]) == 3
+    obj_keys = set(result["evaluations"][0]["objectives"])
+    assert obj_keys == {"loss (noisy)", "loss (noise free)"}
+    assert result["optimum"] is not None
+
+
+def test_runner_main_persists_results(tmp_path):
+    config = Experiment(
+        optimizer=FAST_OPT, benchmark={
+            "cls": Quadratic,
+            "kwargs": {"n_data_per_task": [6] * 2},
+            "noise_spec": HomoscedasticGaussianNoise({"loss": 0.3}),
+        },
+        n_evaluations=3, n_studies=2, compute="LOCAL")
+    out_dir = runner_main(
+        config=config,
+        experiment_module="scamlgp_tpu.benchmarking.configurations.test_exp",
+        experiment_key="TEST", max_workers=1, output_root=tmp_path)
+    files = sorted(p.name for p in out_dir.glob("*.json"))
+    assert "info.json" in files
+    study_files = [f for f in files if f != "info.json"]
+    assert len(study_files) == 2
+    with open(out_dir / study_files[0]) as fh:
+        payload = json.load(fh)
+    assert len(payload["studies"]) == 1
+    study = payload["studies"][0]
+    assert len(study["evaluations"]) == 3
+
+    # regrets: running-min, non-negative up to optimizer tolerance
+    regrets = compute_regrets(
+        Objective("loss (noise free)", False), study["optimum"],
+        [e["objectives"] for e in study["evaluations"]])
+    assert len(regrets) == 3
+    assert all(regrets[i + 1] <= regrets[i] + 1e-12 for i in range(2))
+
+
+def test_compute_regrets_running_min():
+    regrets = compute_regrets(
+        Objective("loss", False), optimum=1.0,
+        objective_values=[{"loss": 3.0}, {"loss": 5.0}, {"loss": 1.5},
+                          {"loss": 2.0}])
+    np.testing.assert_allclose(regrets, [2.0, 2.0, 0.5, 0.5])
+    with pytest.warns(Warning, match="negative regret"):
+        compute_regrets(Objective("loss", False), optimum=10.0,
+                        objective_values=[{"loss": 3.0}])
