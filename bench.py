@@ -1,0 +1,117 @@
+"""Headline benchmark: batched MLL+Cholesky evaluations per second per chip.
+
+This is the BASELINE.json primary throughput metric — the inner op of every
+hyperparameter-fit step in ScaML-GP (Gram assembly -> Cholesky -> MLL ->
+gradient; reference hot loop 2, ``/root/reference/scamlgp/utils.py:175-192``).
+One "eval" = one value-and-gradient of the exact GP marginal log-likelihood
+for one GP in the batch (batch = tasks x restarts, the axes the TPU engine
+vmaps where the reference loops in Python).
+
+``vs_baseline`` = TPU evals/s divided by the torch-CPU evals/s measured in
+this same process with identical shapes — torch being the reference's actual
+numeric engine (SURVEY.md section 2.4).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+B = 256        # batched GPs (tasks x restarts)
+N = 128        # observations per GP  (Hartmann6D scale: 128 pts/task)
+D = 6          # input dim
+TIMED_ROUNDS = 20
+
+
+def tpu_throughput():
+    import jax
+    import jax.numpy as jnp
+
+    from scamlgp_tpu.models import gp
+
+    dtype = jnp.float32
+    cfg = gp.source_gp_config()
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.uniform(size=(B, N, D)), dtype)
+    y = jnp.asarray(rng.normal(size=(B, N)), dtype)
+
+    params = jax.vmap(lambda k: gp.sample_params(cfg, k, D, dtype))(
+        jax.random.split(jax.random.PRNGKey(0), B))
+
+    def one(p, x, yy):
+        return gp.map_objective(cfg, p, x, yy)
+
+    step = jax.jit(jax.vmap(jax.value_and_grad(one)))
+
+    # warmup / compile
+    v, g = step(params, X, y)
+    jax.block_until_ready(v)
+    assert bool(jnp.all(jnp.isfinite(v))), "non-finite MLL in bench"
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_ROUNDS):
+        v, g = step(params, X, y)
+    jax.block_until_ready(v)
+    dt = time.perf_counter() - t0
+    return B * TIMED_ROUNDS / dt
+
+
+def torch_cpu_baseline():
+    """Same computation through torch (the reference's engine), batched on
+    CPU with default thread settings."""
+    import torch
+
+    torch.manual_seed(0)
+    X = torch.rand(B, N, D, dtype=torch.float32)
+    y = torch.randn(B, N, dtype=torch.float32)
+    raw_ls = torch.randn(B, D, dtype=torch.float32, requires_grad=True)
+    raw_os = torch.randn(B, dtype=torch.float32, requires_grad=True)
+    raw_nz = torch.randn(B, dtype=torch.float32, requires_grad=True)
+
+    def mll_batch():
+        ls = 1e-4 + (1e2 - 1e-4) * torch.sigmoid(raw_ls)
+        os_ = 1e-4 + (1e2 - 1e-4) * torch.sigmoid(raw_os)
+        nz = 1e-8 + (1e-2 - 1e-8) * torch.sigmoid(raw_nz)
+        Xs = X / ls[:, None, :]
+        d2 = torch.cdist(Xs, Xs) ** 2
+        K = os_[:, None, None] * torch.exp(-0.5 * d2)
+        A = K + (nz[:, None, None] + 1e-6) * torch.eye(N).expand(B, N, N)
+        L = torch.linalg.cholesky(A)
+        alpha = torch.cholesky_solve(y.unsqueeze(-1), L).squeeze(-1)
+        quad = (y * alpha).sum(-1)
+        logdet = 2.0 * torch.log(torch.diagonal(L, dim1=-2, dim2=-1)).sum(-1)
+        return -0.5 * (quad + logdet + N * np.log(2 * np.pi))
+
+    # warmup
+    loss = mll_batch().sum()
+    loss.backward()
+
+    rounds = max(2, TIMED_ROUNDS // 4)
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        for p in (raw_ls, raw_os, raw_nz):
+            p.grad = None
+        mll_batch().sum().backward()
+    dt = time.perf_counter() - t0
+    return B * rounds / dt
+
+
+def main():
+    tpu = tpu_throughput()
+    try:
+        cpu = torch_cpu_baseline()
+    except Exception:
+        cpu = None
+    vs = (tpu / cpu) if cpu else None
+    print(json.dumps({
+        "metric": "batched_mll_cholesky_evals_per_s_per_chip",
+        "value": round(tpu, 2),
+        "unit": f"evals/s (B={B}, N={N}, D={D}, f32, value+grad)",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -162,11 +162,11 @@ def source_predict(stack: SourceStack, cfg: gp.GPConfig, P,
     def one(x, mask, chol, alpha, p, t_mean, t_std):
         c = gp.constrain(cfg, p)
         Kxq = gp.gram(cfg, c, x, P) * mask[:, None]
-        mean = Kxq.T @ alpha
+        mean = jnp.matmul(Kxq.T, alpha, precision=jax.lax.Precision.HIGHEST)
         v = jax.lax.linalg.triangular_solve(chol, Kxq, left_side=True, lower=True)
         if full_cov:
             Kqq = gp.gram(cfg, c, P)
-            cov = Kqq - v.T @ v
+            cov = Kqq - jnp.matmul(v.T, v, precision=jax.lax.Precision.HIGHEST)
             return t_mean + t_std * mean, (t_std ** 2) * cov
         var = jnp.maximum(c.outputscale - jnp.sum(v * v, axis=0), 0.0)
         return t_mean + t_std * mean, (t_std ** 2) * var

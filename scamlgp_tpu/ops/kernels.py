@@ -21,9 +21,16 @@ from functools import partial
 from typing import Callable
 
 import jax.numpy as jnp
+from jax import lax
 
 SQRT3 = math.sqrt(3.0)
 SQRT5 = math.sqrt(5.0)
+
+#: TPU matmuls default to bf16 accumulation; kernel distances exponentiate,
+#: so bf16 error makes Gram matrices non-PSD and Cholesky NaNs out.  All
+#: distance cross-products therefore run at HIGHEST precision (full f32 on
+#: the MXU via multi-pass).
+_PRECISION = lax.Precision.HIGHEST
 
 
 def _scaled(x, lengthscale):
@@ -37,7 +44,8 @@ def sq_dist(x, z, lengthscale):
     zs = _scaled(z, lengthscale)
     x2 = jnp.sum(xs * xs, axis=-1, keepdims=True)          # (..., n, 1)
     z2 = jnp.sum(zs * zs, axis=-1, keepdims=True)          # (..., m, 1)
-    cross = xs @ jnp.swapaxes(zs, -1, -2)                  # (..., n, m)  MXU
+    cross = jnp.matmul(xs, jnp.swapaxes(zs, -1, -2),
+                       precision=_PRECISION)               # (..., n, m)  MXU
     d2 = x2 - 2.0 * cross + jnp.swapaxes(z2, -1, -2)
     return jnp.maximum(d2, 0.0)
 

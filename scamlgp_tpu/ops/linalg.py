@@ -107,10 +107,12 @@ def posterior(state: CholState, Kxq, Kqq_diag=None, Kqq=None):
         and/or covariance (..., q, q).
     """
     Kxq = Kxq * state.mask[..., :, None]
-    mean = jnp.einsum("...nq,...n->...q", Kxq, state.alpha)
+    mean = jnp.einsum("...nq,...n->...q", Kxq, state.alpha,
+                      precision=lax.Precision.HIGHEST)
     v = lax.linalg.triangular_solve(state.chol, Kxq, left_side=True, lower=True)
     if Kqq is not None:
-        cov = Kqq - jnp.swapaxes(v, -1, -2) @ v
+        cov = Kqq - jnp.matmul(jnp.swapaxes(v, -1, -2), v,
+                               precision=lax.Precision.HIGHEST)
         return mean, cov
     if Kqq_diag is not None:
         var = Kqq_diag - jnp.sum(v * v, axis=-2)
