@@ -1,0 +1,103 @@
+"""NN tabular HPO experiment grid (reference
+``benchmarking/configurations/nn_tabular.py:44-135``): HPOBench nn,
+7 tasks x 128 pts; 60 evals x 256 studies; also prints a markdown regret
+table at selected iterations."""
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List
+
+import numpy as np
+from scipy.stats import sem
+
+from scamlgp_tpu.benchmarking.benchmarks.hpo_bench_tabular import (
+    HPOBenchTabular,
+)
+from scamlgp_tpu.benchmarking.configurations.styles import OPTIMIZER_STYLES
+from scamlgp_tpu.benchmarking.experiment_config_utils import Experiment
+from scamlgp_tpu.benchmarking.plotting import (
+    _regrets_from_studies,
+    grouped_results,
+)
+from scamlgp_tpu.benchmarking.utils import with_experiment_cli_and_data_loading
+from scamlgp_tpu.bo.core import Objective
+from scamlgp_tpu.bo.optimizer import ScaMLGPBO
+
+
+def _regret_stats(studies: list):
+    regrets = np.asarray(_regrets_from_studies(studies))
+    return np.mean(regrets, axis=0), sem(regrets, axis=0)
+
+
+def _print_markdown_table(results: dict, configs: List[Experiment],
+                          iterations: List[int]):
+    """Mean +- SEM regret at the given iterations, sorted by final regret
+    (reference ``nn_tabular.py:44-97``)."""
+    runs_data = list(results.values())
+    ii = [i - 1 for i in iterations]
+    run_configs = [Experiment(**run["experiment_config"])
+                   for run in runs_data]
+
+    print("| optimizer | " + " | ".join(str(i) for i in iterations), "|")
+    print("|", " | ".join(["---"] * (len(iterations) + 1)), "|")
+
+    stats = []
+    for config in configs:
+        try:
+            i_config = run_configs.index(config)
+        except ValueError:
+            print("Unable to find configuration in available results, "
+                  "skipping", json.dumps(config.__dict__, indent=2,
+                                         default=str))
+            continue
+        data = runs_data[i_config]
+        style = (OPTIMIZER_STYLES[config.optimizer["cls"]]
+                 if isinstance(config.optimizer, dict)
+                 else OPTIMIZER_STYLES[config.optimizer])
+        regrets_mean, regrets_sem = _regret_stats(data["studies"])
+        stats.append((style["label"], regrets_mean, regrets_sem))
+
+    stats = sorted(stats, key=lambda x: x[1][-1])
+    for label, regrets_mean, regrets_sem in stats:
+        print("|", label, "|",
+              "|".join(f"{m:0.2E} +/- {e:0.2E}"
+                       for m, e in zip(regrets_mean[ii], regrets_sem[ii])),
+              "|")
+
+
+@with_experiment_cli_and_data_loading
+def main(results: dict):
+    _print_markdown_table(results, configs=EXPERIMENTS.values(),
+                          iterations=[10, 20, 30, 40, 50, 60])
+    fig = grouped_results(
+        list(results.values()),
+        optimizer_styles=OPTIMIZER_STYLES,
+        groups={
+            "NN Tabular\n7 Tasks à 128 Points": [
+                v for k, v in EXPERIMENTS.items()
+                if k.startswith("NN_T7_P128")],
+        },
+        robust_statistics=False,
+        use_regrets=True,
+        objective=Objective("1 - Accuracy", False),
+    )
+    fig.savefig(
+        Path(__file__).parent
+        / f"{Path(__file__).name[:-3]}_benchmark_wise_regrets.pdf")
+
+
+_NN_T7_P128_CONFIG = {
+    "cls": HPOBenchTabular,
+    "kwargs": {"scenario": "nn", "n_data_per_task": [128] * 7},
+}
+
+_DEFAULTS: Dict[str, Any] = dict(
+    n_evaluations=60, n_studies=256, compute="PARALLEL")
+
+EXPERIMENTS = {
+    "NN_T7_P128_SCAMLGP": Experiment(
+        benchmark=_NN_T7_P128_CONFIG, optimizer=ScaMLGPBO, **_DEFAULTS),
+}
+
+if __name__ == "__main__":
+    main(EXPERIMENTS)
