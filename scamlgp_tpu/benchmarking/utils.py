@@ -47,7 +47,7 @@ def get_benchmarks_with_search_space_dimensions(dimensions: int
     def dimensions_filter(benchmark):
         try:
             return len(benchmark().search_space) == dimensions
-        except TypeError:
+        except (TypeError, ImportError, FileNotFoundError, ValueError):
             logging.warning(f"Could not instantiate benchmark '{benchmark}'.")
             return False
 
@@ -61,7 +61,7 @@ def get_benchmarks_with_output_dimensions(dimensions: int) -> List[Benchmark]:
     def dimensions_filter(benchmark):
         try:
             return benchmark().output_dimensions == dimensions
-        except TypeError:
+        except (TypeError, ImportError, FileNotFoundError, ValueError):
             logging.warning(f"Could not instantiate benchmark '{benchmark}'.")
             return False
 
