@@ -1,0 +1,292 @@
+"""Fully on-device vectorized BO campaigns: studies as a batch axis.
+
+The reference runs each study seed in its own OS process
+(``/root/reference/scamlgp/benchmarking/local_runner.py:174-181``, up to 64
+CPU workers).  Here an entire campaign — meta-fit, target refits, acquisition
+maximization, benchmark evaluation, noise — is ONE jitted program with the
+study axis vmapped (and shardable over the ``study`` mesh axis): 128 studies
+advance in lock-step on a single chip.
+
+Scope: synthetic jax-evaluable benchmarks (Branin / Hartmann / Quadratic).
+Tabular benchmarks keep the host loop (their lookups are host-side data).
+
+Fidelity notes vs the sequential driver (``bo/optimizer.py``):
+- target refits use warm-started Adam plus prior-sampled restarts in a fixed
+  number of steps (the sequential driver uses L-BFGS);
+- the acquisition ascent uses the same sigmoid-reparametrized Adam scheme.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scamlgp_tpu.models import gp
+from scamlgp_tpu.models import scamlgp as m
+from scamlgp_tpu.ops import linalg
+
+
+@dataclasses.dataclass(frozen=True)
+class CampaignConfig:
+    n_evaluations: int = 40
+    noise_std: float = 1.0
+    ucb_beta: float = 9.0                  # utils.py:215-224
+    fit_steps: int = 80
+    fit_restarts: int = 2                  # prior-sampled, on top of warm
+    fit_lr: float = 0.08
+    acq_raw_samples: int = 256
+    acq_topk: int = 4
+    acq_steps: int = 30
+    acq_lr: float = 0.05
+    pruning_threshold: float = 1e-3        # model.py:226
+
+
+class CampaignResult(NamedTuple):
+    X: jnp.ndarray       # (S, E, d) proposed unit-cube configs
+    y: jnp.ndarray       # (S, E) noisy observed losses
+    y_clean: jnp.ndarray  # (S, E) noise-free losses
+
+
+def _study_posterior_diag(stack, source_cfg, target_cfg, params, Xbuf, ybuf,
+                          mask, out_mean, out_std, Xq, pruning_threshold):
+    """Marginal posterior at candidates Xq (B, d) for ONE study, via the
+    joint-conditioning path (eval mode, pruned weights)."""
+    w = m.weights_forward(params.raw_weights)
+    prune = m.significant_weights_mask(
+        w, stack.data.std, pruning_threshold).astype(Xq.dtype)
+    w_eff = w * prune
+    c = gp.constrain(target_cfg, params.gp)
+
+    def one(x):
+        P = jnp.concatenate([Xbuf, x[None]], axis=0)
+        means, covs = m.source_predict(stack, source_cfg, P, full_cov=True)
+        mean_p = jnp.einsum("mq,m->q", means, w_eff)
+        cov_p = jnp.einsum("mqp,m->qp", covs, w_eff ** 2)
+        mean_std = (mean_p - out_mean) / out_std
+        cov_std = cov_p / out_std ** 2
+        Kt = gp.gram(target_cfg, c, P)
+        cov_full = cov_std + Kt
+        n = Xbuf.shape[0]
+        y_std = (ybuf - out_mean) / out_std * mask
+        resid = y_std - mean_std[:n] * mask
+        st = linalg.cholesky_factor(cov_full[:n, :n], c.noise, resid, mask)
+        mu, covq = linalg.posterior(st, cov_full[:n, n:],
+                                    Kqq=cov_full[n:, n:])
+        mu = mu[0] + mean_std[n]
+        var = jnp.maximum(covq[0, 0], 1e-30)
+        return mu * out_std + out_mean, var * out_std ** 2
+
+    return jax.vmap(one)(Xq)
+
+
+def _fit_target(stack, source_cfg, target_cfg, params_warm, Xbuf, ybuf, mask,
+                out_mean, out_std, key, cfg: CampaignConfig):
+    """Warm + prior-restart Adam MAP fit for ONE study (training-mode cached
+    moments, like reference hot loop 4)."""
+    means, covs = m.source_predict(stack, source_cfg, Xbuf, full_cov=True)
+    y_std = (ybuf - out_mean) / out_std * mask
+
+    def objective(p):
+        w = m.weights_forward(p.raw_weights)
+        mean_p = (jnp.einsum("mq,m->q", means, w) - out_mean) / out_std
+        cov_p = jnp.einsum("mqp,m->qp", covs, w ** 2) / out_std ** 2
+        extra = jnp.sum(m.WEIGHTS_PRIOR.log_prob(w))
+        return gp.map_objective(target_cfg, p.gp, Xbuf, y_std, mask=mask,
+                                prior_mean=mean_p, prior_cov=cov_p,
+                                extra_log_prior=extra)
+
+    import optax
+
+    opt = optax.adam(cfg.fit_lr)
+
+    def run_one(p0):
+        def step(carry, _):
+            p, s, best_p, best_v = carry
+            v, g = jax.value_and_grad(objective)(p)
+            updates, s = opt.update(g, s, p)
+            p_new = optax.apply_updates(p, updates)
+            better = jnp.isfinite(v) & (v < best_v)
+            best_p = jax.tree_util.tree_map(
+                lambda b, n: jnp.where(better, n, b), best_p, p)
+            best_v = jnp.where(better, v, best_v)
+            return (p_new, s, best_p, best_v), None
+
+        init_v = jnp.asarray(jnp.inf, Xbuf.dtype)
+        (_, _, best_p, best_v), _ = jax.lax.scan(
+            step, (p0, opt.init(p0), p0, init_v), None, length=cfg.fit_steps)
+        return best_p, best_v
+
+    M = stack.num_tasks
+    d = Xbuf.shape[-1]
+    keys = jax.random.split(key, cfg.fit_restarts)
+    sampled = jax.vmap(lambda k: m.sample_target_params(
+        target_cfg, k, M, d, Xbuf.dtype))(keys)
+    stack0 = jax.tree_util.tree_map(
+        lambda w_, s_: jnp.concatenate([w_[None], s_], axis=0),
+        params_warm, sampled)
+    ps, vs = jax.vmap(run_one)(stack0)
+    best = jnp.argmin(jnp.where(jnp.isfinite(vs), vs, jnp.inf))
+    return jax.tree_util.tree_map(lambda l: l[best], ps)
+
+
+def _out_transform(stack, ybuf, mask):
+    """Global Standardize over concat(meta, target) with the empty-target
+    identity rule (model.py:261-276,307-308)."""
+    meta_y = stack.data.y * stack.data.std[:, None] + stack.data.mean[:, None]
+    all_y = jnp.concatenate([meta_y.reshape(-1), ybuf])
+    all_m = jnp.concatenate([stack.data.mask.reshape(-1), mask])
+    from scamlgp_tpu.utils.standardize import fit_standardize
+
+    tr = fit_standardize(all_y, all_m, axis=-1)
+    n_t = jnp.sum(mask)
+    out_mean = jnp.where(n_t > 0, tr.mean, 0.0)
+    out_std = jnp.where(n_t > 0, tr.std, 1.0)
+    return out_mean, out_std
+
+
+def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
+                 key, source_cfg: Optional[gp.GPConfig] = None,
+                 target_cfg: Optional[gp.GPConfig] = None,
+                 cfg: CampaignConfig = CampaignConfig(),
+                 meta_fit_restarts: int = 3, meta_fit_steps: int = 50
+                 ) -> CampaignResult:
+    """Run S studies in lock-step on device.
+
+    Args:
+        benchmark_fn: static jax fn ``(x_unit (d,), task_params_pytree) ->
+            scalar loss`` (noise-free).
+        task_params: pytree with leading study axis S — per-study target-task
+            parameters (descriptors/settings/context merged).
+        meta_data: TaskData with leading axes (S, M, N) — per-study meta
+            observations, already noisy if desired.
+        key: master PRNG key.
+    """
+    source_cfg = source_cfg or gp.source_gp_config()
+    target_cfg = target_cfg or gp.target_gp_config()
+
+    S, M, N, d = (*meta_data.X.shape[:3], meta_data.X.shape[-1])
+    dtype = meta_data.X.dtype
+    E = cfg.n_evaluations
+
+    # ---- meta-fit: fold (study, task) into one big task axis, fit once ----
+    flat = m.TaskData(*[jnp.reshape(l, (S * M,) + l.shape[2:])
+                        for l in meta_data])
+    key, k_meta = jax.random.split(key)
+    flat_stack = m.meta_fit_task_stack(flat, source_cfg, k_meta,
+                                       num_restarts=meta_fit_restarts,
+                                       num_steps=meta_fit_steps)
+    stacks = m.SourceStack(
+        data=m.TaskData(*[jnp.reshape(l, (S, M) + l.shape[1:])
+                          for l in flat_stack.data]),
+        params=jax.tree_util.tree_map(
+            lambda l: jnp.reshape(l, (S, M) + l.shape[1:]),
+            flat_stack.params),
+        chol=jnp.reshape(flat_stack.chol, (S, M, N, N)),
+        alpha=jnp.reshape(flat_stack.alpha, (S, M, N)),
+    )
+
+    # ---- BO loop ----------------------------------------------------------
+    def study_iteration(stack, tparams, Xbuf, ybuf, yclean, mask, params, k,
+                        i):
+        out_mean, out_std = _out_transform(stack, ybuf, mask)
+        k_fit, k_acq, k_noise = jax.random.split(k, 3)
+
+        # refit (skipped content-wise at i=0: no data -> prior-only fit is
+        # still harmless and keeps the graph static)
+        warm = m.TargetParams(
+            raw_weights=m.weights_inverse(jnp.full((M,), 1.0 / M, dtype)),
+            gp=params.gp)
+        params = _fit_target(stack, source_cfg, target_cfg, warm, Xbuf, ybuf,
+                             mask, out_mean, out_std, k_fit, cfg)
+
+        # acquisition: UCB(beta, minimize) over the unit cube
+        raw = jax.random.uniform(k_acq, (cfg.acq_raw_samples, d), dtype)
+
+        def acq(x):
+            mu, var = _study_posterior_diag(
+                stack, source_cfg, target_cfg, params, Xbuf, ybuf, mask,
+                out_mean, out_std, x[None], cfg.pruning_threshold)
+            return (-mu[0] + jnp.sqrt(cfg.ucb_beta)
+                    * jnp.sqrt(jnp.maximum(var[0], 1e-30)))
+
+        raw_vals = jax.lax.map(acq, raw)
+        top = jax.lax.top_k(jnp.where(jnp.isfinite(raw_vals), raw_vals,
+                                      -jnp.inf), cfg.acq_topk)[1]
+        starts = raw[top]
+
+        import optax
+
+        opt = optax.adam(cfg.acq_lr)
+
+        def logit(u):
+            u = jnp.clip(u, 1e-6, 1 - 1e-6)
+            return jnp.log(u) - jnp.log1p(-u)
+
+        def ascend(x0):
+            z0 = logit(x0)
+
+            def neg(z):
+                return -acq(jax.nn.sigmoid(z))
+
+            def step(carry, _):
+                z, s, bz, bv = carry
+                v, g = jax.value_and_grad(neg)(z)
+                updates, s = opt.update(g, s, z)
+                z2 = optax.apply_updates(z, updates)
+                better = jnp.isfinite(v) & (v < bv)
+                return (z2, s, jnp.where(better, z, bz),
+                        jnp.where(better, v, bv)), None
+
+            (zf, _, bz, bv), _ = jax.lax.scan(
+                step, (z0, opt.init(z0), z0, jnp.asarray(jnp.inf, dtype)),
+                None, length=cfg.acq_steps)
+            vf = neg(zf)
+            better = jnp.isfinite(vf) & (vf < bv)
+            return (jnp.where(better, zf, bz), jnp.where(better, vf, bv))
+
+        zs, negv = jax.vmap(ascend)(starts)
+        best = jnp.argmin(jnp.where(jnp.isfinite(negv), negv, jnp.inf))
+        x_star = jax.nn.sigmoid(zs[best])
+
+        # evaluate benchmark + homoscedastic noise
+        y_clean = benchmark_fn(x_star, tparams)
+        y_noisy = y_clean + cfg.noise_std * jax.random.normal(k_noise, (),
+                                                              dtype)
+        Xbuf = jax.lax.dynamic_update_slice(Xbuf, x_star[None], (i, 0))
+        ybuf = jax.lax.dynamic_update_slice(ybuf, y_noisy[None], (i,))
+        yclean = jax.lax.dynamic_update_slice(yclean, y_clean[None], (i,))
+        mask = jax.lax.dynamic_update_slice(mask,
+                                            jnp.ones((1,), dtype), (i,))
+        return Xbuf, ybuf, yclean, mask, params
+
+    def one_study(stack, tparams, k0):
+        Xbuf = jnp.zeros((E, d), dtype)
+        ybuf = jnp.zeros((E,), dtype)
+        yclean = jnp.zeros((E,), dtype)
+        mask = jnp.zeros((E,), dtype)
+        params = m.init_target_params(target_cfg, M, d, dtype)
+
+        def body(i, carry):
+            Xbuf, ybuf, yclean, mask, params, k = carry
+            k, ki = jax.random.split(k)
+            Xbuf, ybuf, yclean, mask, params = study_iteration(
+                stack, tparams, Xbuf, ybuf, yclean, mask, params, ki, i)
+            return (Xbuf, ybuf, yclean, mask, params, k)
+
+        Xbuf, ybuf, yclean, mask, params, _ = jax.lax.fori_loop(
+            0, E, body, (Xbuf, ybuf, yclean, mask, params, k0))
+        return Xbuf, ybuf, yclean
+
+    study_keys = jax.random.split(key, S)
+    X, y, y_clean = jax.vmap(one_study)(stacks, task_params, study_keys)
+    return CampaignResult(X=X, y=y, y_clean=y_clean)
+
+
+def simple_regret(y_clean: jnp.ndarray, optimum) -> jnp.ndarray:
+    """Running-min simple regret per study (plotting.py:21-53 semantics)."""
+    regret = y_clean - jnp.asarray(optimum)[..., None]
+    return jax.lax.associative_scan(jnp.minimum, regret, axis=-1)

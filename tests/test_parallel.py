@@ -1,0 +1,146 @@
+"""Sharded paths on the 8-device CPU mesh + on-device campaign + Pallas gram.
+
+The reference has no distributed tests (SURVEY.md section 4); these pin the
+TPU-native sharding contracts: sharded meta-fit == single-chip meta-fit,
+psum-reduced target objective == replicated objective, campaigns reduce
+regret.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from scamlgp_tpu.models import gp
+from scamlgp_tpu.models import scamlgp as m
+from scamlgp_tpu.parallel import scamlgp_sharded as sh
+from scamlgp_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def task_mesh():
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("task",))
+
+
+@pytest.fixture(scope="module")
+def meta():
+    rng = np.random.default_rng(5)
+    M, N, d = 6, 12, 2
+    xs = [rng.uniform(size=(N, d)) for _ in range(M)]
+    ys = [np.sin(4 * x[:, 0]) + 0.1 * rng.normal(size=N) for x in xs]
+    return xs, ys
+
+
+def test_mesh_construction():
+    mesh = make_mesh(study=2, task=4)
+    assert mesh.shape == {"study": 2, "task": 4}
+    mesh1 = make_mesh(study=1)
+    assert mesh1.shape["task"] == 8
+    with pytest.raises(ValueError):
+        make_mesh(study=3)
+
+
+def test_sharded_meta_fit_matches_single_chip(meta, task_mesh):
+    """Same data, same key: the task-sharded fit must give the same per-task
+    hyperparameters as the single-chip vmapped fit (padding aside)."""
+    xs, ys = meta
+    data = m.pack_task_data(xs, ys, dtype=jnp.float64)
+    cfg = gp.source_gp_config()
+    key = jax.random.PRNGKey(0)
+
+    single = m.meta_fit_task_stack(data, cfg, key, num_restarts=2,
+                                   num_steps=25)
+    padded = sh.pad_task_data(data, 8)
+    assert padded.X.shape[0] == 8
+    sharded = sh.meta_fit_sharded(data, cfg, key, task_mesh, num_restarts=2,
+                                  num_steps=25)
+
+    M = data.X.shape[0]
+    for leaf_s, leaf_1 in zip(jax.tree_util.tree_leaves(sharded.params),
+                              jax.tree_util.tree_leaves(single.params)):
+        np.testing.assert_allclose(np.asarray(leaf_s)[:M],
+                                   np.asarray(leaf_1), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_target_objective_matches_replicated(meta, task_mesh):
+    """psum-coupled sharded MAP objective == single-chip objective."""
+    xs, ys = meta
+    stack_1chip, cfg = m.meta_fit_scamlgp(xs, ys, key=jax.random.PRNGKey(1),
+                                          num_restarts_log_likelihood=1,
+                                          num_steps=20)
+    rng = np.random.default_rng(2)
+    Xt = jnp.asarray(rng.uniform(size=(5, 2)))
+    yt = jnp.sin(4 * Xt[:, 0])
+    mask = jnp.ones(5)
+    tcfg = gp.target_gp_config()
+
+    # single-chip objective at init params
+    model = m.build_scamlgp(stack_1chip, cfg, Xt, yt, mask)
+    obj_single = float(m.scamlgp_map_objective(model, tcfg, model.params))
+
+    # sharded: pad stack to 8 tasks, build caches + state
+    data_p = sh.pad_task_data(stack_1chip.data, 8)
+    params_p = jax.tree_util.tree_map(
+        lambda l: jnp.concatenate(
+            [l, jnp.broadcast_to(l[-1:], (8 - l.shape[0],) + l.shape[1:])]),
+        stack_1chip.params)
+    stack_p = m.finalize_source_stack(data_p, cfg, params_p)
+    state = sh.build_sharded_target(stack_p, cfg, Xt, yt, mask, task_mesh)
+    np.testing.assert_allclose(float(state.out_mean), float(model.out_mean),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(state.out_std), float(model.out_std),
+                               rtol=1e-10)
+
+    params1 = sh.fit_target_sharded(state, tcfg,
+                                    m.init_target_params(tcfg, 8, 2,
+                                                         jnp.float64),
+                                    task_mesh, num_steps=60)
+    w = np.asarray(m.weights_forward(params1.raw_weights))
+    assert np.all(np.isfinite(w))
+
+    # fitted sharded params should beat the single-chip INIT objective when
+    # evaluated through the single-chip path (restricted to the real tasks)
+    params_trunc = m.TargetParams(raw_weights=params1.raw_weights[:6],
+                                  gp=params1.gp)
+    obj_fitted = float(m.scamlgp_map_objective(model, tcfg, params_trunc))
+    assert obj_fitted < obj_single
+
+
+def test_campaign_reduces_regret():
+    from scamlgp_tpu.benchmarking.benchmarks import Quadratic
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+    )
+    from scamlgp_tpu.parallel.campaign import (
+        CampaignConfig,
+        run_campaign,
+        simple_regret,
+    )
+
+    fn, tps, md, optima = campaign_inputs_from_benchmark(
+        Quadratic, [10] * 3, study_seeds=[0, 1], noise_std=0.05)
+    cfg = CampaignConfig(n_evaluations=8, noise_std=0.05, fit_steps=30,
+                         fit_restarts=1, acq_raw_samples=64, acq_topk=2,
+                         acq_steps=10)
+    res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
+                       meta_fit_restarts=1, meta_fit_steps=15)
+    assert res.X.shape == (2, 8, 1)
+    reg = np.asarray(simple_regret(res.y_clean, optima))
+    assert np.all(np.isfinite(reg))
+    # running-min property + actual improvement on this easy problem
+    assert np.all(np.diff(reg, axis=1) <= 1e-12)
+    assert np.all(reg[:, -1] < np.maximum(0.5, reg[:, 0]))
+
+
+def test_pallas_gram_interpret_matches_xla(rng):
+    from scamlgp_tpu.ops import kernels as K
+    from scamlgp_tpu.ops.pallas_gram import rbf_gram_pallas
+
+    x = jnp.asarray(rng.uniform(size=(300, 3)), jnp.float32)
+    z = jnp.asarray(rng.uniform(size=(200, 3)), jnp.float32)
+    ls = jnp.asarray([0.5, 0.8, 0.4], jnp.float32)
+    Kp = rbf_gram_pallas(x, z, ls, 1.3)
+    Kx = K.rbf(x, z, ls, 1.3)
+    assert Kp.shape == (300, 200)
+    np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx), atol=2e-5)
