@@ -47,8 +47,17 @@ def _logit(x):
 def _optimize(value_fn: Callable, static_args: Any, args: Any,
               raw: jnp.ndarray,
               num_restarts: int, num_steps: int, lr: float) -> AcqOptResult:
-    # 1) raw sweep
-    raw_vals = jax.lax.map(lambda x: value_fn(static_args, args, x), raw)
+    # 1) raw sweep — vmapped in chunks (parallel on device, bounded memory)
+    n_raw, d = raw.shape
+    chunk = max(1, min(128, n_raw))
+    n_chunks = n_raw // chunk
+    batched = jax.vmap(lambda x: value_fn(static_args, args, x))
+    raw_vals = jax.lax.map(batched,
+                           raw[:n_chunks * chunk].reshape(n_chunks, chunk, d)
+                           ).reshape(-1)
+    if n_chunks * chunk < n_raw:
+        raw_vals = jnp.concatenate([raw_vals,
+                                    batched(raw[n_chunks * chunk:])])
     raw_vals = jnp.where(jnp.isfinite(raw_vals), raw_vals, -jnp.inf)
     starts = raw[jax.lax.top_k(raw_vals, num_restarts)[1]]
 

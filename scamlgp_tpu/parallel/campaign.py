@@ -213,7 +213,10 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             return (-mu[0] + jnp.sqrt(cfg.ucb_beta)
                     * jnp.sqrt(jnp.maximum(var[0], 1e-30)))
 
-        raw_vals = jax.lax.map(acq, raw)
+        chunk = min(64, cfg.acq_raw_samples)
+        raw_vals = jax.lax.map(
+            jax.vmap(acq),
+            raw.reshape(cfg.acq_raw_samples // chunk, chunk, d)).reshape(-1)
         top = jax.lax.top_k(jnp.where(jnp.isfinite(raw_vals), raw_vals,
                                       -jnp.inf), cfg.acq_topk)[1]
         starts = raw[top]
