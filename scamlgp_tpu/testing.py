@@ -192,12 +192,39 @@ def handles_missing_objective_values(optimizer_class: Type,
     assert sum(np.isfinite(optimizer.losses)) == 3
 
 
+def is_deterministic_when_reporting_shuffled_evaluations(
+        optimizer_class: Type, optimizer_kwargs: dict, seed: int):
+    """Two optimizers fed the same batch of evaluations in different orders
+    must propose the same next configuration (blackboxopt reference-test
+    semantics — the internal fit data is canonically sorted)."""
+    optimizer_kwargs = dict(optimizer_kwargs)
+    optimizer_kwargs["objective"] = Objective("loss", False)
+
+    rng = np.random.default_rng(seed)
+    evals = []
+    for _ in range(5):
+        x0 = float(rng.uniform(0.5, 3.0))
+        evals.append(Evaluation(
+            configuration={"x0": x0},
+            objectives={"loss": _run_experiment_1d_deterministic(x0)}))
+
+    proposals = []
+    for order in (evals, list(reversed(evals))):
+        optimizer = optimizer_class(_space_1d(seed), seed=seed,
+                                    **optimizer_kwargs)
+        optimizer.report(list(order))
+        es = optimizer.generate_evaluation_specification()
+        proposals.append(es.configuration["x0"])
+    assert proposals[0] == proposals[1]
+
+
 #: Blackboxopt-style reference tests (semantics of the dependency's suite).
 ALL_REFERENCE_TESTS = [
     optimizes_toy_problem,
     respects_fixed_parameter,
     handles_conditional_space,
     handles_missing_objective_values,
+    is_deterministic_when_reporting_shuffled_evaluations,
 ]
 
 #: Reference's own additional suite (``testing.py:103``).
