@@ -19,10 +19,11 @@ import time
 
 import numpy as np
 
-B = 256        # batched GPs (tasks x restarts)
+B = 4096       # batched GPs (tasks x restarts) — fills the chip
 N = 128        # observations per GP  (Hartmann6D scale: 128 pts/task)
 D = 6          # input dim
-TIMED_ROUNDS = 20
+TIMED_ROUNDS = 200   # enough queued steps to amortize host->device dispatch
+CPU_B = 256          # torch baseline batch (throughput is per-eval normalized)
 
 
 def tpu_throughput():
@@ -63,6 +64,7 @@ def torch_cpu_baseline():
     CPU with default thread settings."""
     import torch
 
+    B = CPU_B
     torch.manual_seed(0)
     X = torch.rand(B, N, D, dtype=torch.float32)
     y = torch.randn(B, N, dtype=torch.float32)
@@ -88,7 +90,7 @@ def torch_cpu_baseline():
     loss = mll_batch().sum()
     loss.backward()
 
-    rounds = max(2, TIMED_ROUNDS // 4)
+    rounds = 5
     t0 = time.perf_counter()
     for _ in range(rounds):
         for p in (raw_ls, raw_os, raw_nz):

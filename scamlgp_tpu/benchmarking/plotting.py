@@ -280,7 +280,9 @@ def plot_meta_data_summary_comparison(results: dict, styles: dict,
             lambda x: x[0] if len(x) > 0 else 0))
 
     if "experiment_config.optimizer.cls" not in df.columns:
-        df["experiment_config.optimizer.cls"] = np.nan
+        df["experiment_config.optimizer.cls"] = None
+    df["experiment_config.optimizer.cls"] = df[
+        "experiment_config.optimizer.cls"].astype(object)
     _mask = df["experiment_config.optimizer.cls"].isna()
     df.loc[_mask, "experiment_config.optimizer.cls"] = df[
         "experiment_config.optimizer"][_mask]
