@@ -190,6 +190,163 @@ def hmc(log_prob_fn: Callable, init_params, key, num_warmup: int = 200,
     return samples, info
 
 
+def nuts(log_prob_fn: Callable, init_params, key, num_warmup: int = 200,
+         num_samples: int = 200, max_depth: int = 8,
+         target_accept: float = 0.8, init_step_size: float = 0.1):
+    """NUTS-style adaptive-trajectory sampler (single chain; vmap for more).
+
+    Progressive trajectory doubling with multinomial state selection and
+    U-turn / divergence termination, dual-averaging step-size adaptation
+    during warmup.  Simplification vs full NUTS (Hoffman & Gelman 2014
+    alg. 6): the U-turn criterion is checked between the trajectory
+    endpoints after each doubling rather than on every sub-subtree — the
+    standard lightweight iterative variant; detailed-balance-critical
+    multinomial weighting is exact.
+    """
+    q0, unflatten = _flatten(init_params)
+    dim = q0.shape[0]
+    dtype = q0.dtype
+
+    def logp_flat(q):
+        return log_prob_fn(unflatten(q))
+
+    logp_grad = jax.value_and_grad(logp_flat)
+
+    def logp_grad_safe(q):
+        lp, g = logp_grad(q)
+        lp = jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        return lp, g
+
+    lp0, g0 = logp_grad_safe(q0)
+    gamma, t0_da, kappa = 0.05, 10.0, 0.75
+
+    def trajectory(q, lp, grad, eps, key):
+        """One adaptive-trajectory transition from (q, lp, grad).
+
+        Single-leapfrog while_loop with subtree counters: the trajectory
+        doubles (1, 2, 4, ... leapfrog steps per subtree, random direction
+        per subtree) until a U-turn between the endpoints, a divergence, or
+        ``max_depth`` doublings.  The returned state is a progressive
+        multinomial draw propto exp(H - H0) over every visited state.
+        """
+        k_mom, k_dir0, k_run = jax.random.split(key, 3)
+        p0 = jax.random.normal(k_mom, (dim,), dtype)
+        h0 = lp - 0.5 * jnp.sum(p0 * p0)
+        dir0 = jnp.where(jax.random.bernoulli(k_dir0), 1.0, -1.0).astype(dtype)
+
+        state0 = dict(
+            ql=q, pl=p0, gl=grad, qr=q, pr=p0, gr=grad,
+            qp=q, lpp=lp, logW=jnp.asarray(0.0, dtype),
+            direction=dir0,
+            steps_left=jnp.asarray(1, jnp.int32),
+            subtree=jnp.asarray(1, jnp.int32),
+            depth=jnp.asarray(0, jnp.int32),
+            stop=jnp.asarray(False),
+            acc_sum=jnp.asarray(0.0, dtype),
+            acc_cnt=jnp.asarray(0.0, dtype),
+            key=k_run,
+        )
+
+        def cond(s):
+            return (~s["stop"]) & (s["depth"] < max_depth)
+
+        def body(s):
+            sign = s["direction"]
+            right = sign > 0
+            qe = jnp.where(right, s["qr"], s["ql"])
+            pe = jnp.where(right, s["pr"], s["pl"])
+            ge = jnp.where(right, s["gr"], s["gl"])
+
+            pe = pe + 0.5 * sign * eps * ge
+            qe = qe + sign * eps * pe
+            lpe, ge = logp_grad_safe(qe)
+            pe = pe + 0.5 * sign * eps * ge
+            h = lpe - 0.5 * jnp.sum(pe * pe)
+            w = h - h0
+            diverged = (h0 - h) > 1000.0
+
+            key, k_pick = jax.random.split(s["key"])
+            logW_new = jnp.logaddexp(s["logW"], w)
+            take = ((jax.random.uniform(k_pick, dtype=dtype)
+                     < jnp.exp(w - logW_new)) & ~diverged)
+            qp = jnp.where(take, qe, s["qp"])
+            lpp = jnp.where(take, lpe, s["lpp"])
+
+            ql = jnp.where(right, s["ql"], qe)
+            pl = jnp.where(right, s["pl"], pe)
+            gl = jnp.where(right, s["gl"], ge)
+            qr = jnp.where(right, qe, s["qr"])
+            pr = jnp.where(right, pe, s["pr"])
+            gr = jnp.where(right, ge, s["gr"])
+
+            acc = jnp.minimum(1.0, jnp.exp(jnp.minimum(w, 0.0)))
+            steps_left = s["steps_left"] - 1
+            subtree_done = steps_left == 0
+
+            # on subtree completion: U-turn check + next doubling
+            dq = qr - ql
+            uturn = (jnp.dot(dq, pl) < 0) | (jnp.dot(dq, pr) < 0)
+            key, k_dir = jax.random.split(key)
+            new_dir = jnp.where(jax.random.bernoulli(k_dir), 1.0,
+                                -1.0).astype(dtype)
+            subtree = jnp.where(subtree_done, s["subtree"] * 2, s["subtree"])
+            return dict(
+                ql=ql, pl=pl, gl=gl, qr=qr, pr=pr, gr=gr,
+                qp=qp, lpp=lpp, logW=logW_new,
+                direction=jnp.where(subtree_done, new_dir, sign),
+                steps_left=jnp.where(subtree_done, subtree, steps_left),
+                subtree=subtree,
+                depth=jnp.where(subtree_done, s["depth"] + 1, s["depth"]),
+                stop=s["stop"] | diverged | (subtree_done & uturn),
+                acc_sum=s["acc_sum"] + acc,
+                acc_cnt=s["acc_cnt"] + 1.0,
+                key=key,
+            )
+
+        out = jax.lax.while_loop(cond, body, state0)
+        qp, lpp = out["qp"], out["lpp"]
+        _, gp_ = logp_grad_safe(qp)
+        accept_stat = out["acc_sum"] / jnp.maximum(out["acc_cnt"], 1.0)
+        return qp, lpp, gp_, accept_stat
+
+    def run(key):
+        keys = jax.random.split(key, num_warmup + num_samples)
+
+        def warm_body(carry, k):
+            q, lp, g, log_eps, log_eps_avg, h_avg, t = carry
+            eps = jnp.exp(log_eps)
+            q, lp, g, acc = trajectory(q, lp, g, eps, k)
+            t = t + 1.0
+            h_avg = ((1.0 - 1.0 / (t + t0_da)) * h_avg
+                     + (target_accept - acc) / (t + t0_da))
+            mu = jnp.log(10.0 * init_step_size)
+            log_eps = mu - jnp.sqrt(t) / gamma * h_avg
+            eta = t ** (-kappa)
+            log_eps_avg = eta * log_eps + (1 - eta) * log_eps_avg
+            return (q, lp, g, log_eps, log_eps_avg, h_avg, t), acc
+
+        init_carry = (q0, lp0, g0,
+                      jnp.asarray(jnp.log(init_step_size), dtype),
+                      jnp.asarray(jnp.log(init_step_size), dtype),
+                      jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
+        carry, _ = jax.lax.scan(warm_body, init_carry, keys[:num_warmup])
+        q, lp, g, _, log_eps_avg, _, _ = carry
+        eps = jnp.exp(log_eps_avg)
+
+        def sample_body(carry, k):
+            q, lp, g = carry
+            q, lp, g, acc = trajectory(q, lp, g, eps, k)
+            return (q, lp, g), (q, acc)
+
+        _, (qs, accs) = jax.lax.scan(sample_body, (q, lp, g),
+                                     keys[num_warmup:])
+        return jax.vmap(unflatten)(qs), {"accept_prob": accs,
+                                         "step_size": eps}
+
+    return run(key)
+
+
 def sample_gp_hyperparameters(cfg, X, y, mask, key, num_chains: int = 4,
                               num_warmup: int = 200, num_samples: int = 200,
                               num_leapfrog: int = 16, dtype=None):
