@@ -137,29 +137,44 @@ def gram(cfg: GPConfig, c: Constrained, x, z=None):
 
 
 def mll(cfg: GPConfig, p: GPParams, X, y, mask=None,
-        prior_mean=None, prior_cov=None) -> jnp.ndarray:
+        prior_mean=None, prior_cov=None, method: str = "chol") -> jnp.ndarray:
     """Marginal log-likelihood log N(y | prior_mean, K + prior_cov + noise*I).
 
     ``prior_mean`` / ``prior_cov`` support the ScaML-GP target model whose prior
     is the weighted source posterior (``model.py:359-363``).
+
+    ``method="sweep"`` routes the factorization through the Pallas batched
+    sweep-inverse kernel (f32 TPU hot path; analytic VJP — no triangular
+    solves in the backward pass).
     """
     c = constrain(cfg, p)
     K = gram(cfg, c, X)
     if prior_cov is not None:
         K = K + prior_cov
+    if method == "sweep":
+        from scamlgp_tpu.ops.pallas_sweep import mll_via_sweep
+
+        yy = y if prior_mean is None else y - prior_mean
+        if mask is not None:
+            yy = yy * mask
+            n_active = jnp.sum(mask, axis=-1)
+        else:
+            n_active = jnp.asarray(K.shape[-1], K.dtype)
+        A = linalg.mask_system(K, c.noise, mask)
+        return mll_via_sweep(A[None], yy[None], n_active)[0]
     return linalg.mll(K, c.noise, y, mask=mask, mean=prior_mean)
 
 
 def map_objective(cfg: GPConfig, p: GPParams, X, y, mask=None,
                   prior_mean=None, prior_cov=None,
-                  extra_log_prior=0.0) -> jnp.ndarray:
+                  extra_log_prior=0.0, method: str = "chol") -> jnp.ndarray:
     """Negative (MLL + log prior) — the quantity minimized during fitting.
 
     Matches botorch ``fit_gpytorch_mll``'s objective: exact MLL plus prior
     log-probs (``/root/reference/scamlgp/utils.py:139-212``).
     """
     c = constrain(cfg, p)
-    return -(mll(cfg, p, X, y, mask, prior_mean, prior_cov)
+    return -(mll(cfg, p, X, y, mask, prior_mean, prior_cov, method=method)
              + log_prior(cfg, c) + extra_log_prior)
 
 

@@ -73,6 +73,100 @@ def _sweep_kernel(a_ref, inv_ref, logdet_ref):
     logdet_ref[:] = logdet
 
 
+BLOCK = 32
+
+
+def _sweep_kernel_blocked(a_ref, inv_ref, logdet_ref):
+    """Blocked sweep: the O(N^3) bulk update runs as rank-BLOCK batched
+    matmuls on the MXU; only the (G, BLOCK, N) pivot panel is swept
+    elementwise.  Identity used (B = pivot block, R = rest):
+
+        [[P, Q], [R, S]]  ->  [[-P^-1, P^-1 Q], [R P^-1, S - R P^-1 Q]]
+
+    with the panel after elementary sweeping equal to W = [-P^-1 | P^-1 Q].
+    """
+    G, N, _ = a_ref.shape
+    BS = BLOCK
+    A0 = a_ref[:]
+    hi = jax.lax.Precision.HIGHEST
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+    sub_panel = jax.lax.broadcasted_iota(jnp.int32, (1, BS, 1), 1)
+    rows_n = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    cols_bs = jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
+    eye_bs = (jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 0)
+              == jax.lax.broadcasted_iota(jnp.int32, (BS, BS), 1)
+              ).astype(A0.dtype)
+
+    def block_step(b, carry):
+        A, logdet = carry
+        base = b * BS
+
+        # E_B: (N, BS) one-hot selector of the pivot rows/columns.  Pallas
+        # TPU has no dynamic_slice on values, so panel gather/scatter are
+        # one-hot matmuls (MXU) instead.
+        E = ((rows_n - base) == cols_bs).astype(A.dtype)   # (N, BS)
+
+        # --- panel extract + sweep (rows B, all columns) ------------------
+        panel0 = jax.lax.dot_general(                      # E^T @ A
+            E, A, (((0,), (1,)), ((), ())), preferred_element_type=A.dtype,
+            precision=hi)                                  # (BS, G, N) !
+        panel0 = jnp.swapaxes(panel0, 0, 1)                # (G, BS, N)
+
+        def pivot_step(jj, pc):
+            P, ld = pc
+            k = base + jj
+            e_lane = (lane == k).astype(P.dtype)          # (1, 1, N)
+            e_sub = (sub_panel == jj).astype(P.dtype)     # (1, BS, 1)
+            col = jnp.sum(P * e_lane, axis=2, keepdims=True)   # (G, BS, 1)
+            row = jnp.sum(P * e_sub, axis=1, keepdims=True)    # (G, 1, N)
+            d = jnp.sum(row * e_lane, axis=2, keepdims=True)   # (G, 1, 1)
+            inv_d = 1.0 / d
+            cd = col * inv_d
+            P = (P - cd * row + e_sub * (row * inv_d) + cd * e_lane
+                 + (-inv_d - 2.0) * (e_sub * e_lane))
+            return P, ld + jnp.log(d[:, :, 0])
+
+        W, logdet = jax.lax.fori_loop(
+            0, BS, pivot_step, (panel0, logdet))           # (G, BS, N)
+
+        # --- bulk rank-BS update on the MXU -------------------------------
+        RB = jax.lax.dot_general(                          # A[:, :, B]
+            A, E, (((2,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=hi)                                  # (G, N, BS)
+        Pinv = -jax.lax.dot_general(                       # -W[:, :, B]
+            W, E, (((2,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=hi)                                  # (G, BS, BS)
+        # M = P^-1 A[B, :]  (B cols = I, rest = P^-1 Q)
+        corr = Pinv + eye_bs
+        M = W + jax.lax.dot_general(                       # (G, BS, N)
+            corr, E.T, (((2,), (0,)), ((), ())), preferred_element_type=A.dtype,
+            precision=hi)
+        RBPinv = jax.lax.dot_general(
+            RB, Pinv, (((2,), (1,)), ((0,), (0,))), preferred_element_type=A.dtype,
+            precision=hi)                                  # (G, N, BS)
+        A = (A
+             - jax.lax.dot_general(RB, M, (((2,), (1,)), ((0,), (0,))),
+                                   preferred_element_type=A.dtype,
+                                   precision=hi)
+             + jax.lax.dot_general(RBPinv, E.T, (((2,), (0,)), ((), ())),
+                                   preferred_element_type=A.dtype,
+                                   precision=hi))
+        # overwrite the pivot rows with W: rowmask = E @ 1 (N, 1)
+        rowmask = jnp.sum(E, axis=1, keepdims=True)        # (N, 1)
+        scatterW = jax.lax.dot_general(                    # (G, N, N)
+            E, W, (((1,), (1,)), ((), ())), preferred_element_type=A.dtype,
+            precision=hi)                                  # (N, G, N) !
+        scatterW = jnp.swapaxes(scatterW, 0, 1)
+        A = A * (1.0 - rowmask[None]) + scatterW
+        return A, logdet
+
+    A, logdet = jax.lax.fori_loop(
+        0, N // BS, block_step, (A0, jnp.zeros((G, 1), A0.dtype)))
+    inv_ref[:] = -A
+    logdet_ref[:] = logdet
+
+
 def _pad_batch(a, g):
     b = a.shape[0]
     pad = (-b) % g
@@ -108,8 +202,12 @@ def _sweep_inverse_impl(A):
     g = min(DEFAULT_G, B)
     Ap = _pad_batch(A, g)
     Bp = Ap.shape[0]
+    # Elementary sweep wins on v5e: the blocked variant's K=32 MXU matmuls
+    # measured slower (160 ms vs 86 ms at B=4096, N=128, value+grad); kept
+    # for future tuning.
+    kernel = _sweep_kernel
     inv, logdet = pl.pallas_call(
-        _sweep_kernel,
+        kernel,
         out_shape=(jax.ShapeDtypeStruct((Bp, N, N), A.dtype),
                    jax.ShapeDtypeStruct((Bp, 1), A.dtype)),
         grid_spec=pl.GridSpec(
