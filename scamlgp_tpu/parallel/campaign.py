@@ -152,8 +152,8 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                  key, source_cfg: Optional[gp.GPConfig] = None,
                  target_cfg: Optional[gp.GPConfig] = None,
                  cfg: CampaignConfig = CampaignConfig(),
-                 meta_fit_restarts: int = 3, meta_fit_steps: int = 50
-                 ) -> CampaignResult:
+                 meta_fit_restarts: int = 3, meta_fit_steps: int = 50,
+                 loop: str = "host") -> CampaignResult:
     """Run S studies in lock-step on device.
 
     Args:
@@ -164,6 +164,11 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
         meta_data: TaskData with leading axes (S, M, N) — per-study meta
             observations, already noisy if desired.
         key: master PRNG key.
+        loop: "host" (default) jits one vmapped BO iteration and loops on the
+            host — E small dispatches, one modest compile.  "device" fuses
+            the whole campaign into a single ``fori_loop`` program — zero
+            dispatch overhead but a much heavier (slow on some backends)
+            compile.
     """
     source_cfg = source_cfg or gp.source_gp_config()
     target_cfg = target_cfg or gp.target_gp_config()
@@ -266,27 +271,56 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                                             jnp.ones((1,), dtype), (i,))
         return Xbuf, ybuf, yclean, mask, params
 
-    def one_study(stack, tparams, k0):
-        Xbuf = jnp.zeros((E, d), dtype)
-        ybuf = jnp.zeros((E,), dtype)
-        yclean = jnp.zeros((E,), dtype)
-        mask = jnp.zeros((E,), dtype)
-        params = m.init_target_params(target_cfg, M, d, dtype)
-
-        def body(i, carry):
-            Xbuf, ybuf, yclean, mask, params, k = carry
-            k, ki = jax.random.split(k)
-            Xbuf, ybuf, yclean, mask, params = study_iteration(
-                stack, tparams, Xbuf, ybuf, yclean, mask, params, ki, i)
-            return (Xbuf, ybuf, yclean, mask, params, k)
-
-        Xbuf, ybuf, yclean, mask, params, _ = jax.lax.fori_loop(
-            0, E, body, (Xbuf, ybuf, yclean, mask, params, k0))
-        return Xbuf, ybuf, yclean
-
     study_keys = jax.random.split(key, S)
-    X, y, y_clean = jax.vmap(one_study)(stacks, task_params, study_keys)
-    return CampaignResult(X=X, y=y, y_clean=y_clean)
+
+    if loop == "device":
+        def one_study(stack, tparams, k0):
+            Xbuf = jnp.zeros((E, d), dtype)
+            ybuf = jnp.zeros((E,), dtype)
+            yclean = jnp.zeros((E,), dtype)
+            mask = jnp.zeros((E,), dtype)
+            params = m.init_target_params(target_cfg, M, d, dtype)
+
+            def body(i, carry):
+                Xbuf, ybuf, yclean, mask, params, k = carry
+                k, ki = jax.random.split(k)
+                Xbuf, ybuf, yclean, mask, params = study_iteration(
+                    stack, tparams, Xbuf, ybuf, yclean, mask, params, ki, i)
+                return (Xbuf, ybuf, yclean, mask, params, k)
+
+            Xbuf, ybuf, yclean, mask, params, _ = jax.lax.fori_loop(
+                0, E, body, (Xbuf, ybuf, yclean, mask, params, k0))
+            return Xbuf, ybuf, yclean
+
+        X, y, y_clean = jax.vmap(one_study)(stacks, task_params, study_keys)
+        return CampaignResult(X=X, y=y, y_clean=y_clean)
+
+    # host loop: one jitted vmapped iteration, reused for all E steps
+    # (i is traced, so a single compile serves every iteration)
+    @jax.jit
+    def iteration(stacks, task_params, Xbuf, ybuf, yclean, mask, params,
+                  keys, i):
+        return jax.vmap(
+            lambda st, tp, xb, yb, yc, mk, pr, k: study_iteration(
+                st, tp, xb, yb, yc, mk, pr, k, i)
+        )(stacks, task_params, Xbuf, ybuf, yclean, mask, params, keys)
+
+    Xbuf = jnp.zeros((S, E, d), dtype)
+    ybuf = jnp.zeros((S, E), dtype)
+    yclean = jnp.zeros((S, E), dtype)
+    mask = jnp.zeros((S, E), dtype)
+    params = jax.vmap(
+        lambda _: m.init_target_params(target_cfg, M, d, dtype))(
+            jnp.arange(S))
+    for i in range(E):
+        study_keys = jax.vmap(
+            lambda k: jax.random.split(k)[0])(study_keys)
+        iter_keys = jax.vmap(
+            lambda k: jax.random.split(k)[1])(study_keys)
+        Xbuf, ybuf, yclean, mask, params = iteration(
+            stacks, task_params, Xbuf, ybuf, yclean, mask, params,
+            iter_keys, i)
+    return CampaignResult(X=Xbuf, y=ybuf, y_clean=yclean)
 
 
 def simple_regret(y_clean: jnp.ndarray, optimum) -> jnp.ndarray:
