@@ -66,6 +66,24 @@ def _acq_value(static_args, args, x):
     return af(mean[0], var[0], best_f)
 
 
+def _acq_value_hmc(static_args, args, x):
+    """Acquisition under the hyperparameter-posterior mixture (HMC samples):
+    mean = E[mu], var = E[var + mu^2] - mean^2 over sampled TargetParams."""
+    source_cfg, target_cfg, af = static_args
+    model, samples, best_f = args
+
+    def one(p):
+        mm = model._replace(params=p)
+        mean, var = model_lib.scamlgp_posterior_diag(
+            mm, source_cfg, target_cfg, x[None, :], original_scale=True)
+        return mean[0], var[0]
+
+    means, variances = jax.lax.map(one, samples)
+    mean = jnp.mean(means)
+    var = jnp.mean(variances + means**2) - mean**2
+    return af(mean, jnp.maximum(var, 1e-30), best_f)
+
+
 def _next_capacity(n: int, minimum: int = 8) -> int:
     cap = minimum
     while cap < n:
@@ -110,6 +128,8 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
         seed: Optional[int] = None,
         dtype=None,
         num_fit_steps: int = 60,
+        fit_method: str = "map",
+        hmc_kwargs: Optional[Dict[str, Any]] = None,
     ):
         r"""Single-objective meta-learning BO with ScaML-GP as surrogate.
 
@@ -136,6 +156,12 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
                 warm start for every (re)fit.
             seed: master seed; all on-device randomness derives from it.
             dtype: working dtype; defaults to f64 when x64 is enabled.
+            fit_method: "map" (reference semantics: multi-restart MAP-II) or
+                "hmc" — full hyperparameter posterior via the
+                adaptive-trajectory sampler; the acquisition then uses the
+                posterior *mixture* predictive (BASELINE.json north star).
+            hmc_kwargs: overrides for chains/warmup/samples/leapfrog and the
+                number of mixture samples used in the acquisition.
         """
         super().__init__(search_space, objective, seed)
         self.logger = logger or logging.getLogger("scamlgp_tpu")
@@ -146,6 +172,13 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
         self.num_fit_steps = num_fit_steps
         self.model_kwargs = model_kwargs or {}
         self.af_optimizer_kwargs = dict(af_optimizer_kwargs or {})
+        if fit_method not in ("map", "hmc"):
+            raise ValueError(f"Unknown fit_method {fit_method!r}")
+        self.fit_method = fit_method
+        self.hmc_kwargs = {"num_chains": 2, "num_warmup": 100,
+                           "num_samples": 64, "num_leapfrog": 8,
+                           "mixture_samples": 16, **(hmc_kwargs or {})}
+        self._hyper_samples = None
         self._af_factory = acquisition_function_factory
         self._n_features = len(self.search_space)
 
@@ -211,10 +244,17 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
             finite = [l for l in self.losses if np.isfinite(l)]
             best_f = jnp.asarray(min(finite) if finite else np.inf, self.dtype)
             self._key, k_af = jax.random.split(self._key)
-            res = acqopt.optimize_acqf(
-                _acq_value, (self.source_cfg, self.target_cfg, af),
-                (self.model, best_f), self._n_features, k_af,
-                dtype=self.dtype, **self.af_optimizer_kwargs)
+            if self.fit_method == "hmc" and self._hyper_samples is not None:
+                res = acqopt.optimize_acqf(
+                    _acq_value_hmc, (self.source_cfg, self.target_cfg, af),
+                    (self.model, self._hyper_samples, best_f),
+                    self._n_features, k_af,
+                    dtype=self.dtype, **self.af_optimizer_kwargs)
+            else:
+                res = acqopt.optimize_acqf(
+                    _acq_value, (self.source_cfg, self.target_cfg, af),
+                    (self.model, best_f), self._n_features, k_af,
+                    dtype=self.dtype, **self.af_optimizer_kwargs)
             vec = impute_nans_with_constant(np.asarray(res.x, np.float64))
             config = self.search_space.from_numerical(vec)
             optional_info = {"model_based_pick": True}
@@ -270,10 +310,33 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
         self.model = self._build_model(Xf, yf, params=warm)
 
         self._key, k_fit = jax.random.split(self._key)
-        self.model = model_lib.fit_scamlgp(
-            self.model, self.target_cfg, k_fit,
-            num_restarts=self.num_restarts_log_likelihood,
-            num_steps=self.num_fit_steps)
+        if self.fit_method == "hmc":
+            from scamlgp_tpu.models import hmc as hmc_lib
+
+            hk = self.hmc_kwargs
+            samples, _ = hmc_lib.sample_scamlgp_hyperparameters(
+                self.model, self.target_cfg, k_fit,
+                num_chains=hk["num_chains"], num_warmup=hk["num_warmup"],
+                num_samples=hk["num_samples"],
+                num_leapfrog=hk["num_leapfrog"])
+            # flatten (chains, draws) and thin to a fixed mixture size so
+            # the acquisition jit cache stays stable
+            k_mix = hk["mixture_samples"]
+            flat = jax.tree_util.tree_map(
+                lambda l: l.reshape((-1,) + l.shape[2:]), samples)
+            total = jax.tree_util.tree_leaves(flat)[0].shape[0]
+            idx = np.linspace(0, total - 1, k_mix).astype(int)
+            self._hyper_samples = jax.tree_util.tree_map(
+                lambda l: l[idx], flat)
+            # point the model at the posterior-mean draw for predict()
+            mean_params = jax.tree_util.tree_map(
+                lambda l: jnp.mean(l, axis=0), self._hyper_samples)
+            self.model = self.model._replace(params=mean_params)
+        else:
+            self.model = model_lib.fit_scamlgp(
+                self.model, self.target_cfg, k_fit,
+                num_restarts=self.num_restarts_log_likelihood,
+                num_steps=self.num_fit_steps)
 
     # ------------------------------------------------------------------
     def predict(self, configurations: Iterable[Dict[str, Any]]):

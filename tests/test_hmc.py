@@ -30,6 +30,27 @@ def test_hmc_standard_normal_moments():
     np.testing.assert_allclose(xs.std(0), np.asarray(sigma), rtol=0.3)
 
 
+def test_nuts_standard_normal_moments():
+    """Adaptive-trajectory NUTS reproduces the moments of a known Gaussian."""
+    mu = jnp.asarray([1.0, -2.0, 0.5])
+    sigma = jnp.asarray([0.5, 2.0, 1.0])
+
+    def log_prob(x):
+        return -0.5 * jnp.sum(((x - mu) / sigma) ** 2)
+
+    def chain(k):
+        k1, k2 = jax.random.split(k)
+        init = jax.random.normal(k1, (3,), jnp.float64)
+        return hmc.nuts(log_prob, init, k2, num_warmup=300, num_samples=500,
+                        max_depth=6)
+
+    samples, info = jax.vmap(chain)(jax.random.split(jax.random.PRNGKey(3), 4))
+    xs = np.asarray(samples).reshape(-1, 3)
+    np.testing.assert_allclose(xs.mean(0), np.asarray(mu), atol=0.3)
+    np.testing.assert_allclose(xs.std(0), np.asarray(sigma), rtol=0.35)
+    assert float(np.mean(np.asarray(info["accept_prob"]))) > 0.5
+
+
 def test_gp_hyperparameter_sampling_finite(rng):
     X = jnp.asarray(rng.uniform(size=(24, 2)))
     y = jnp.sin(5 * X[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=24))

@@ -56,6 +56,53 @@ def test_none_objective_keeps_all_evals_trains_on_subset(seed):
     assert int(np.sum(opt.model.train_mask)) == 4
 
 
+def test_expected_improvement_with_initial_random(seed):
+    """EI requires data — run with an initial random design (reference
+    optimizer.py:101-105 note)."""
+    from scamlgp_tpu.bo.acquisition import ExpectedImprovement
+
+    space = ParameterSpace()
+    space.add(ContinuousParameter("x0", (0.5, 3)))
+    kwargs = dict(FAST_KWARGS)
+    kwargs["acquisition_function_factory"] = ExpectedImprovement
+    kwargs["num_initial_random_samples"] = 2
+    opt = ScaMLGPBO(space, Objective("loss", False),
+                    conformance.META_DATA_1D, seed=seed, **kwargs)
+    losses = []
+    for i in range(4):
+        es = opt.generate_evaluation_specification()
+        if i < 2:
+            assert es.optional_info["model_based_pick"] is False
+        loss = conformance._run_experiment_1d_deterministic(**es.configuration)
+        losses.append(loss)
+        opt.report(es.create_evaluation(objectives={"loss": loss}))
+    assert all(np.isfinite(losses))
+
+
+def test_hmc_fit_method(seed):
+    """fit_method='hmc': hyperparameter-posterior mixture acquisition runs
+    end-to-end and proposes finite configurations."""
+    space = ParameterSpace()
+    space.add(ContinuousParameter("x0", (0.5, 3)))
+    kwargs = dict(FAST_KWARGS)
+    kwargs["fit_method"] = "hmc"
+    kwargs["hmc_kwargs"] = {"num_chains": 2, "num_warmup": 40,
+                            "num_samples": 20, "num_leapfrog": 6,
+                            "mixture_samples": 8}
+    opt = ScaMLGPBO(space, Objective("loss", False),
+                    conformance.META_DATA_1D, seed=seed, **kwargs)
+    for _ in range(3):
+        es = opt.generate_evaluation_specification()
+        x0 = es.configuration["x0"]
+        assert 0.5 <= x0 <= 3.0
+        opt.report(es.create_evaluation(
+            objectives={"loss":
+                        conformance._run_experiment_1d_deterministic(x0)}))
+    assert opt._hyper_samples is not None
+    w = np.asarray(opt.model.weights)
+    assert np.all(np.isfinite(w))
+
+
 def test_greater_is_better_objective(seed):
     """Maximization objectives are negated into losses internally."""
     space = ParameterSpace()
