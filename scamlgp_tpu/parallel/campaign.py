@@ -153,7 +153,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                  target_cfg: Optional[gp.GPConfig] = None,
                  cfg: CampaignConfig = CampaignConfig(),
                  meta_fit_restarts: int = 3, meta_fit_steps: int = 50,
-                 loop: str = "host") -> CampaignResult:
+                 loop: str = "host", mesh=None) -> CampaignResult:
     """Run S studies in lock-step on device.
 
     Args:
@@ -169,6 +169,14 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             the whole campaign into a single ``fori_loop`` program — zero
             dispatch overhead but a much heavier (slow on some backends)
             compile.
+        mesh: optional ``jax.sharding.Mesh`` with a ``"study"`` axis.  The
+            study batch is sharded over it (this is the TPU replacement for
+            the reference's multi-host process pool,
+            ``local_runner.py:174-181``): inputs are placed with
+            ``PartitionSpec("study")`` and GSPMD partitions the lock-step
+            program with zero collectives — studies are independent, so
+            scaling is communication-free by construction.  Use
+            ``make_mesh(study=n_devices)``.
     """
     source_cfg = source_cfg or gp.source_gp_config()
     target_cfg = target_cfg or gp.target_gp_config()
@@ -177,9 +185,37 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
     dtype = meta_data.X.dtype
     E = cfg.n_evaluations
 
+    study_sh = None
+    S_real = S
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        study_sh = NamedSharding(mesh, P("study"))
+
+        # device_put requires the sharded dim divisible by the mesh axis;
+        # pad the study batch by repeating study 0, slice results back below.
+        n_study = mesh.shape["study"]
+        pad = (-S) % n_study
+        if pad:
+            def _pad(l):
+                return jnp.concatenate(
+                    [l, jnp.broadcast_to(l[:1], (pad,) + l.shape[1:])])
+
+            meta_data = jax.tree_util.tree_map(_pad, meta_data)
+            task_params = jax.tree_util.tree_map(_pad, task_params)
+            S = S + pad
+
+        def shard_studies(tree):
+            return jax.tree_util.tree_map(
+                lambda l: jax.device_put(l, study_sh), tree)
+    else:
+        def shard_studies(tree):
+            return tree
+
     # ---- meta-fit: fold (study, task) into one big task axis, fit once ----
     flat = m.TaskData(*[jnp.reshape(l, (S * M,) + l.shape[2:])
                         for l in meta_data])
+    flat = shard_studies(flat)  # flat task axis rides the study mesh axis
     key, k_meta = jax.random.split(key)
     flat_stack = m.meta_fit_task_stack(flat, source_cfg, k_meta,
                                        num_restarts=meta_fit_restarts,
@@ -193,6 +229,8 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
         chol=jnp.reshape(flat_stack.chol, (S, M, N, N)),
         alpha=jnp.reshape(flat_stack.alpha, (S, M, N)),
     )
+    stacks = shard_studies(stacks)
+    task_params = shard_studies(task_params)
 
     # ---- BO loop ----------------------------------------------------------
     def study_iteration(stack, tparams, Xbuf, ybuf, yclean, mask, params, k,
@@ -271,7 +309,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                                             jnp.ones((1,), dtype), (i,))
         return Xbuf, ybuf, yclean, mask, params
 
-    study_keys = jax.random.split(key, S)
+    study_keys = shard_studies(jax.random.split(key, S))
 
     if loop == "device":
         def one_study(stack, tparams, k0):
@@ -293,7 +331,8 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             return Xbuf, ybuf, yclean
 
         X, y, y_clean = jax.vmap(one_study)(stacks, task_params, study_keys)
-        return CampaignResult(X=X, y=y, y_clean=y_clean)
+        return CampaignResult(X=X[:S_real], y=y[:S_real],
+                              y_clean=y_clean[:S_real])
 
     # host loop: one jitted vmapped iteration, reused for all E steps
     # (i is traced, so a single compile serves every iteration)
@@ -305,13 +344,13 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                 st, tp, xb, yb, yc, mk, pr, k, i)
         )(stacks, task_params, Xbuf, ybuf, yclean, mask, params, keys)
 
-    Xbuf = jnp.zeros((S, E, d), dtype)
-    ybuf = jnp.zeros((S, E), dtype)
-    yclean = jnp.zeros((S, E), dtype)
-    mask = jnp.zeros((S, E), dtype)
-    params = jax.vmap(
+    Xbuf = shard_studies(jnp.zeros((S, E, d), dtype))
+    ybuf = shard_studies(jnp.zeros((S, E), dtype))
+    yclean = shard_studies(jnp.zeros((S, E), dtype))
+    mask = shard_studies(jnp.zeros((S, E), dtype))
+    params = shard_studies(jax.vmap(
         lambda _: m.init_target_params(target_cfg, M, d, dtype))(
-            jnp.arange(S))
+            jnp.arange(S)))
     for i in range(E):
         study_keys = jax.vmap(
             lambda k: jax.random.split(k)[0])(study_keys)
@@ -320,7 +359,8 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
         Xbuf, ybuf, yclean, mask, params = iteration(
             stacks, task_params, Xbuf, ybuf, yclean, mask, params,
             iter_keys, i)
-    return CampaignResult(X=Xbuf, y=ybuf, y_clean=yclean)
+    return CampaignResult(X=Xbuf[:S_real], y=ybuf[:S_real],
+                          y_clean=yclean[:S_real])
 
 
 def simple_regret(y_clean: jnp.ndarray, optimum) -> jnp.ndarray:

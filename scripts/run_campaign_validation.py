@@ -1,0 +1,104 @@
+"""Run a reference workload through the on-device campaign and record regret.
+
+Reproduces the BASELINE.md experiment grid rows (e.g. Branin T8_P32 sigma=1.0,
+Hartmann3D T8_P32 sigma=0.1, Hartmann6D T8_P128 sigma=0.1 — reference
+``configurations/{branin,hartmann3,hartmann6}.py``) on whatever backend jax
+selects (the real TPU chip under axon; CPU with ``JAX_PLATFORMS=cpu``).
+
+Example:
+    python scripts/run_campaign_validation.py --benchmark Hartmann3D \
+        --tasks 8 --points 32 --sigma 0.1 --evals 40 --studies 16 \
+        --out docs/hm3_t8_p32_n01_regrets_tpu.npy
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--benchmark", required=True,
+                    choices=["Branin", "Hartmann3D", "Hartmann6D",
+                             "Quadratic"])
+    ap.add_argument("--tasks", type=int, default=8)
+    ap.add_argument("--points", type=int, default=32)
+    ap.add_argument("--sigma", type=float, default=1.0)
+    ap.add_argument("--evals", type=int, default=40)
+    ap.add_argument("--studies", type=int, default=16)
+    ap.add_argument("--f64", action="store_true",
+                    help="float64 (CPU parity mode); default f32")
+    ap.add_argument("--loop", default="host", choices=["host", "device"])
+    ap.add_argument("--shard-studies", action="store_true",
+                    help="shard the study axis over all devices")
+    ap.add_argument("--cpu", type=int, default=0, metavar="N",
+                    help="force CPU backend with N virtual devices (the axon "
+                         "TPU plugin ignores JAX_PLATFORMS=cpu)")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scamlgp_tpu.benchmarking import benchmarks as B
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+    )
+    from scamlgp_tpu.parallel.campaign import (
+        CampaignConfig,
+        run_campaign,
+        simple_regret,
+    )
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    cls = getattr(B, args.benchmark)
+    t0 = time.time()
+    fn, tps, md, optima = campaign_inputs_from_benchmark(
+        cls, [args.points] * args.tasks, study_seeds=range(args.studies),
+        noise_std=args.sigma, dtype=dtype)
+    t_setup = time.time() - t0
+
+    mesh = None
+    if args.shard_studies:
+        from scamlgp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(study=len(jax.devices()), task=1)
+
+    cfg = CampaignConfig(n_evaluations=args.evals, noise_std=args.sigma)
+    t0 = time.time()
+    res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
+                       loop=args.loop, mesh=mesh)
+    reg = np.asarray(simple_regret(res.y_clean, optima))
+    t_run = time.time() - t0
+
+    med = np.median(reg, axis=0)
+    iters = sorted({i for i in (1, 5, 10, 20, 30, 40, 60, 80, args.evals)
+                    if i <= args.evals})
+    print(json.dumps({
+        "benchmark": args.benchmark, "tasks": args.tasks,
+        "points": args.points, "sigma": args.sigma, "evals": args.evals,
+        "studies": args.studies, "dtype": str(dtype.__name__),
+        "backend": jax.default_backend(),
+        "setup_s": round(t_setup, 1), "run_s": round(t_run, 1),
+        "median_regret": {str(i): float(med[i - 1]) for i in iters},
+        "mean_final_regret": float(np.mean(reg[:, -1])),
+        "median_final_regret": float(np.median(reg[:, -1])),
+    }))
+    if args.out:
+        np.save(args.out, reg)
+        print(f"saved {reg.shape} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,36 @@ def test_campaign_reduces_regret():
     assert np.all(reg[:, -1] < np.maximum(0.5, reg[:, 0]))
 
 
+def test_campaign_study_sharded_matches_unsharded():
+    """mesh=make_mesh(study=8): same program partitioned over the study axis
+    must reproduce the single-device campaign (studies are independent, so
+    GSPMD partitioning is communication-free and numerically identical up to
+    reduction order)."""
+    from scamlgp_tpu.benchmarking.benchmarks import Quadratic
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+    )
+    from scamlgp_tpu.parallel.campaign import CampaignConfig, run_campaign
+
+    fn, tps, md, optima = campaign_inputs_from_benchmark(
+        Quadratic, [8] * 2, study_seeds=list(range(8)), noise_std=0.05)
+    cfg = CampaignConfig(n_evaluations=3, noise_std=0.05, fit_steps=10,
+                         fit_restarts=1, acq_raw_samples=32, acq_topk=2,
+                         acq_steps=5)
+    kw = dict(cfg=cfg, meta_fit_restarts=1, meta_fit_steps=8)
+    res_ref = run_campaign(fn, tps, md, jax.random.PRNGKey(0), **kw)
+    mesh = make_mesh(study=8, task=1)
+    res_sh = run_campaign(fn, tps, md, jax.random.PRNGKey(0), mesh=mesh,
+                          **kw)
+    # outputs stay sharded over the study axis
+    assert not res_sh.X.sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(res_sh.X), np.asarray(res_ref.X),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res_sh.y_clean),
+                               np.asarray(res_ref.y_clean),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_gram_interpret_matches_xla(rng):
     from scamlgp_tpu.ops import kernels as K
     from scamlgp_tpu.ops.pallas_gram import rbf_gram_pallas
