@@ -43,6 +43,12 @@ def _sweep_kernel(a_ref, inv_ref, logdet_ref):
     All intermediates are kept >= 2-D (Mosaic layout requirement); column /
     row k are extracted with one-hot masked reductions so no dynamic lane
     indexing occurs.
+
+    Per-step VPU work is minimized by (a) exploiting that the partially swept
+    matrix stays symmetric (row k is the transpose of column k — one masked
+    extraction instead of two) and (b) writing the pivot row/column fix-ups
+    as two masked selects instead of three full (G, N, N) multiply-add
+    passes.
     """
     G, N, _ = a_ref.shape
     A0 = a_ref[:]
@@ -53,17 +59,19 @@ def _sweep_kernel(a_ref, inv_ref, logdet_ref):
     def step(k, carry):
         A, logdet = carry                                # logdet: (G, 1)
         e_lane = (col_idx == k).astype(A.dtype)          # (1, 1, N)
-        e_sub = (row_idx == k).astype(A.dtype)           # (1, N, 1)
-        col = jnp.sum(A * e_lane, axis=2, keepdims=True)  # (G, N, 1)
-        row = jnp.sum(A * e_sub, axis=1, keepdims=True)   # (G, 1, N)
+        is_lane = col_idx == k                           # (1, 1, N) bool
+        is_sub = row_idx == k                            # (1, N, 1) bool
+        row = jnp.sum(jnp.where(is_sub, A, 0.0), axis=1,
+                      keepdims=True)                     # (G, 1, N)
+        col = jnp.swapaxes(row, 1, 2)                    # symmetry: (G, N, 1)
         d = jnp.sum(row * e_lane, axis=2, keepdims=True)  # (G, 1, 1)
         inv_d = 1.0 / d
         cd = col * inv_d                                  # (G, N, 1)
-        A = (A
-             - cd * row
-             + e_sub * (row * inv_d)
-             + cd * e_lane
-             + (-inv_d - 2.0) * (e_sub * e_lane))
+        # pivot row values after the sweep: row/d, with -1/d at the pivot
+        row_fix = row * inv_d - e_lane * (inv_d + 1.0)    # (G, 1, N)
+        A = A - cd * row                                  # rank-1 (FMA pass)
+        A = jnp.where(is_lane, jnp.broadcast_to(cd, A.shape), A)
+        A = jnp.where(is_sub, jnp.broadcast_to(row_fix, A.shape), A)
         logdet = logdet + jnp.log(d[:, :, 0])
         return A, logdet
 
