@@ -44,11 +44,11 @@ def _sweep_kernel(a_ref, inv_ref, logdet_ref):
     row k are extracted with one-hot masked reductions so no dynamic lane
     indexing occurs.
 
-    Per-step VPU work is minimized by (a) exploiting that the partially swept
-    matrix stays symmetric (row k is the transpose of column k — one masked
-    extraction instead of two) and (b) writing the pivot row/column fix-ups
-    as two masked selects instead of three full (G, N, N) multiply-add
-    passes.
+    Pivot row/column fix-ups are two masked selects instead of three full
+    (G, N, N) multiply-add passes (measured ~3% faster at B=4096, N=128).
+    A symmetry variant (row k = transpose of column k, one extraction) was
+    measured 1.37x SLOWER — the (G,N,1)->(G,1,N) relayout costs more than
+    the masked reduction it saves.
     """
     G, N, _ = a_ref.shape
     A0 = a_ref[:]
@@ -59,11 +59,11 @@ def _sweep_kernel(a_ref, inv_ref, logdet_ref):
     def step(k, carry):
         A, logdet = carry                                # logdet: (G, 1)
         e_lane = (col_idx == k).astype(A.dtype)          # (1, 1, N)
+        e_sub = (row_idx == k).astype(A.dtype)           # (1, N, 1)
         is_lane = col_idx == k                           # (1, 1, N) bool
         is_sub = row_idx == k                            # (1, N, 1) bool
-        row = jnp.sum(jnp.where(is_sub, A, 0.0), axis=1,
-                      keepdims=True)                     # (G, 1, N)
-        col = jnp.swapaxes(row, 1, 2)                    # symmetry: (G, N, 1)
+        col = jnp.sum(A * e_lane, axis=2, keepdims=True)  # (G, N, 1)
+        row = jnp.sum(A * e_sub, axis=1, keepdims=True)   # (G, 1, N)
         d = jnp.sum(row * e_lane, axis=2, keepdims=True)  # (G, 1, 1)
         inv_d = 1.0 / d
         cd = col * inv_d                                  # (G, N, 1)
