@@ -1,0 +1,96 @@
+"""Ablation campaigns: average cumulative regret vs meta-data scale.
+
+Reproduces the reference's ablation experiments (average cumulative simple
+regret +/- SEM as a function of the number of meta-tasks M or points per
+task N_m — ``configurations/branin_ablation_num_meta_tasks.py:17-18``,
+``.../branin_ablation_num_points_per_task.py:17-18``, plotted by
+``plotting.py:339-426``) through the on-device vectorized campaign.
+
+Example:
+    python scripts/run_ablation.py --benchmark Branin --axis tasks \
+        --values 2 4 8 16 32 --points 32 --sigma 1.0 --evals 40 --studies 16
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--benchmark", required=True)
+    ap.add_argument("--axis", choices=["tasks", "points"], required=True)
+    ap.add_argument("--values", type=int, nargs="+", required=True)
+    ap.add_argument("--tasks", type=int, default=8,
+                    help="fixed M when axis=points")
+    ap.add_argument("--points", type=int, default=32,
+                    help="fixed N_m when axis=tasks")
+    ap.add_argument("--sigma", type=float, default=1.0)
+    ap.add_argument("--evals", type=int, default=40)
+    ap.add_argument("--studies", type=int, default=16)
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--cpu", type=int, default=0)
+    ap.add_argument("--out", default=None, help="JSON output path")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scamlgp_tpu.benchmarking import benchmarks as B
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+    )
+    from scamlgp_tpu.parallel.campaign import (
+        CampaignConfig,
+        run_campaign,
+        simple_regret,
+    )
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    cls = getattr(B, args.benchmark)
+    cfg = CampaignConfig(n_evaluations=args.evals, noise_std=args.sigma)
+
+    rows = []
+    for v in args.values:
+        M = v if args.axis == "tasks" else args.tasks
+        N = args.points if args.axis == "tasks" else v
+        t0 = time.time()
+        fn, tps, md, optima = campaign_inputs_from_benchmark(
+            cls, [N] * M, study_seeds=range(args.studies),
+            noise_std=args.sigma, dtype=dtype)
+        res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg)
+        reg = np.asarray(simple_regret(res.y_clean, optima))
+        # average cumulative regret per study, then mean +/- SEM over studies
+        cum = np.mean(reg, axis=1)
+        sem = float(np.std(cum, ddof=1) / np.sqrt(len(cum)))
+        row = {"value": v, "M": M, "N": N,
+               "avg_cum_regret_mean": float(np.mean(cum)),
+               "avg_cum_regret_sem": sem,
+               "median_final_regret": float(np.median(reg[:, -1])),
+               "wall_s": round(time.time() - t0, 1)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    summary = {"benchmark": args.benchmark, "axis": args.axis,
+               "sigma": args.sigma, "evals": args.evals,
+               "studies": args.studies, "backend": jax.default_backend(),
+               "dtype": str(dtype.__name__), "rows": rows}
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
