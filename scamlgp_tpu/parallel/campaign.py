@@ -35,6 +35,7 @@ class CampaignConfig:
     n_evaluations: int = 40
     noise_std: float = 1.0
     ucb_beta: float = 9.0                  # utils.py:215-224
+    fit_method: str = "map"                # "map" | "hmc"
     fit_steps: int = 80
     fit_restarts: int = 2                  # prior-sampled, on top of warm
     fit_lr: float = 0.08
@@ -43,6 +44,13 @@ class CampaignConfig:
     acq_steps: int = 30
     acq_lr: float = 0.05
     pruning_threshold: float = 1e-3        # model.py:226
+    # fit_method == "hmc": full hyperparameter posterior per refit; the
+    # acquisition marginalizes over `mixture_samples` posterior draws
+    hmc_chains: int = 2
+    hmc_warmup: int = 64
+    hmc_samples: int = 16
+    hmc_leapfrog: int = 12
+    mixture_samples: int = 8
 
 
 class CampaignResult(NamedTuple):
@@ -131,6 +139,52 @@ def _fit_target(stack, source_cfg, target_cfg, params_warm, Xbuf, ybuf, mask,
     ps, vs = jax.vmap(run_one)(stack0)
     best = jnp.argmin(jnp.where(jnp.isfinite(vs), vs, jnp.inf))
     return jax.tree_util.tree_map(lambda l: l[best], ps)
+
+
+def _sample_target_hmc(stack, source_cfg, target_cfg, Xbuf, ybuf, mask,
+                       out_mean, out_std, key, cfg: CampaignConfig):
+    """Posterior draws of the target parameters for ONE study via vmapped
+    HMC chains over the same training-mode objective as ``_fit_target``
+    (the campaign equivalent of ``ScaMLGPBO(fit_method='hmc')``).
+
+    Returns a TargetParams pytree with leading ``mixture_samples`` axis
+    (chains folded in, evenly thinned)."""
+    from scamlgp_tpu.models.hmc import hmc
+
+    means, covs = m.source_predict(stack, source_cfg, Xbuf, full_cov=True)
+    y_std = (ybuf - out_mean) / out_std * mask
+
+    def objective(p):
+        w = m.weights_forward(p.raw_weights)
+        mean_p = (jnp.einsum("mq,m->q", means, w) - out_mean) / out_std
+        cov_p = jnp.einsum("mqp,m->qp", covs, w ** 2) / out_std ** 2
+        extra = jnp.sum(m.WEIGHTS_PRIOR.log_prob(w))
+        return gp.map_objective(target_cfg, p.gp, Xbuf, y_std, mask=mask,
+                                prior_mean=mean_p, prior_cov=cov_p,
+                                extra_log_prior=extra)
+
+    M = stack.num_tasks
+    d = Xbuf.shape[-1]
+    dtype = Xbuf.dtype
+    keys = jax.random.split(key, cfg.hmc_chains)
+
+    def one_chain(k):
+        k_init, k_run = jax.random.split(k)
+        init = m.sample_target_params(target_cfg, k_init, M, d, dtype)
+        samples, _ = hmc(lambda p: -objective(p), init, k_run,
+                         num_warmup=cfg.hmc_warmup,
+                         num_samples=cfg.hmc_samples,
+                         num_leapfrog=cfg.hmc_leapfrog)
+        return samples
+
+    samples = jax.vmap(one_chain)(keys)     # leading (chains, samples)
+    K = cfg.hmc_chains * cfg.hmc_samples
+    take = min(cfg.mixture_samples, K)
+    idx = jnp.asarray(
+        [int(round(i * (K - 1) / max(take - 1, 1))) for i in range(take)])
+    flat = jax.tree_util.tree_map(
+        lambda l: jnp.reshape(l, (K,) + l.shape[2:])[idx], samples)
+    return flat
 
 
 def _out_transform(stack, ybuf, mask):
@@ -243,18 +297,33 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
         warm = m.TargetParams(
             raw_weights=m.weights_inverse(jnp.full((M,), 1.0 / M, dtype)),
             gp=params.gp)
-        params = _fit_target(stack, source_cfg, target_cfg, warm, Xbuf, ybuf,
-                             mask, out_mean, out_std, k_fit, cfg)
 
-        # acquisition: UCB(beta, minimize) over the unit cube
-        raw = jax.random.uniform(k_acq, (cfg.acq_raw_samples, d), dtype)
-
-        def acq(x):
+        def ucb_at(p, x):
             mu, var = _study_posterior_diag(
-                stack, source_cfg, target_cfg, params, Xbuf, ybuf, mask,
+                stack, source_cfg, target_cfg, p, Xbuf, ybuf, mask,
                 out_mean, out_std, x[None], cfg.pruning_threshold)
             return (-mu[0] + jnp.sqrt(cfg.ucb_beta)
                     * jnp.sqrt(jnp.maximum(var[0], 1e-30)))
+
+        if cfg.fit_method == "hmc":
+            hyper_samples = _sample_target_hmc(
+                stack, source_cfg, target_cfg, Xbuf, ybuf, mask,
+                out_mean, out_std, k_fit, cfg)
+            # carry the last draw as next iteration's (unused-by-hmc) state
+            params = jax.tree_util.tree_map(lambda l: l[-1], hyper_samples)
+
+            def acq(x):
+                return jnp.mean(jax.vmap(lambda p: ucb_at(p, x))(
+                    hyper_samples))
+        else:
+            params = _fit_target(stack, source_cfg, target_cfg, warm, Xbuf,
+                                 ybuf, mask, out_mean, out_std, k_fit, cfg)
+
+            def acq(x):
+                return ucb_at(params, x)
+
+        # acquisition: UCB(beta, minimize) over the unit cube
+        raw = jax.random.uniform(k_acq, (cfg.acq_raw_samples, d), dtype)
 
         chunk = min(64, cfg.acq_raw_samples)
         raw_vals = jax.lax.map(

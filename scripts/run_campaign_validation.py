@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--f64", action="store_true",
                     help="float64 (CPU parity mode); default f32")
     ap.add_argument("--loop", default="host", choices=["host", "device"])
+    ap.add_argument("--fit-method", default="map", choices=["map", "hmc"])
     ap.add_argument("--shard-studies", action="store_true",
                     help="shard the study axis over all devices")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
@@ -75,7 +76,8 @@ def main():
 
         mesh = make_mesh(study=len(jax.devices()), task=1)
 
-    cfg = CampaignConfig(n_evaluations=args.evals, noise_std=args.sigma)
+    cfg = CampaignConfig(n_evaluations=args.evals, noise_std=args.sigma,
+                         fit_method=args.fit_method)
     t0 = time.time()
     res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
                        loop=args.loop, mesh=mesh)

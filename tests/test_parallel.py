@@ -133,6 +133,34 @@ def test_campaign_reduces_regret():
     assert np.all(reg[:, -1] < np.maximum(0.5, reg[:, 0]))
 
 
+def test_campaign_hmc_mode_reduces_regret():
+    """fit_method='hmc': posterior-marginalized acquisition inside the
+    vectorized campaign (campaign analogue of ScaMLGPBO(fit_method='hmc'))."""
+    from scamlgp_tpu.benchmarking.benchmarks import Quadratic
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+    )
+    from scamlgp_tpu.parallel.campaign import (
+        CampaignConfig,
+        run_campaign,
+        simple_regret,
+    )
+
+    # f64 here: f32 campaigns under jax_enable_x64 hit an optax-linesearch
+    # dtype promotion in the meta-fit (f32 is the TPU path, where x64 is off)
+    fn, tps, md, optima = campaign_inputs_from_benchmark(
+        Quadratic, [8] * 2, study_seeds=[0, 1], noise_std=0.05)
+    cfg = CampaignConfig(n_evaluations=4, noise_std=0.05, fit_method="hmc",
+                         hmc_chains=2, hmc_warmup=10, hmc_samples=4,
+                         hmc_leapfrog=4, mixture_samples=4,
+                         acq_raw_samples=32, acq_topk=2, acq_steps=5)
+    res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
+                       meta_fit_restarts=1, meta_fit_steps=8)
+    reg = np.asarray(simple_regret(res.y_clean, optima))
+    assert np.all(np.isfinite(reg))
+    assert np.all(reg[:, -1] <= reg[:, 0])
+
+
 def test_campaign_study_sharded_matches_unsharded():
     """mesh=make_mesh(study=8): same program partitioned over the study axis
     must reproduce the single-device campaign (studies are independent, so
