@@ -62,16 +62,77 @@ def _task_param_dict(task) -> Dict[str, float]:
     return {**task.descriptors, **task.settings, **task.context}
 
 
+def device_optima(fn, task_params, d, key=None, n_samples: int = 8192,
+                  topk: int = 32, steps: int = 200, lr: float = 0.02):
+    """Per-study ground-truth minima of a jax benchmark function, on device.
+
+    The reference computes optima host-side with scipy SHGO
+    (``benchmarks/base.py:258-268``, sobol n=1024) — minutes per study batch
+    for 6-D functions.  Here: dense uniform screening + top-k multi-start
+    Adam polish (sigmoid-reparametrized to stay in the unit cube), vmapped
+    over studies — milliseconds on a chip, validated against SHGO in
+    ``tests/benchmarking/test_benchmarks.py``.
+    """
+    import jax
+    import optax
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    leaves = jax.tree_util.tree_leaves(task_params)
+    S = leaves[0].shape[0]
+    dtype = leaves[0].dtype
+
+    def logit(u):
+        u = jnp.clip(u, 1e-6, 1 - 1e-6)
+        return jnp.log(u) - jnp.log1p(-u)
+
+    @jax.jit
+    def one_study(tp, k):
+        pts = jax.random.uniform(k, (n_samples, d), dtype)
+        vals = jax.lax.map(jax.vmap(lambda x: fn(x, tp)),
+                           pts.reshape(32, n_samples // 32, d)).reshape(-1)
+        starts = pts[jax.lax.top_k(-vals, topk)[1]]
+
+        opt = optax.adam(lr)
+
+        def polish(x0):
+            z0 = logit(x0)
+
+            def step(carry, _):
+                z, s, bv = carry
+                v, g = jax.value_and_grad(
+                    lambda zz: fn(jax.nn.sigmoid(zz), tp))(z)
+                updates, s = opt.update(g, s, z)
+                return (optax.apply_updates(z, updates), s,
+                        jnp.minimum(bv, v)), None
+
+            (zf, _, bv), _ = jax.lax.scan(
+                step, (z0, opt.init(z0), jnp.asarray(jnp.inf, dtype)), None,
+                length=steps)
+            return jnp.minimum(bv, fn(jax.nn.sigmoid(zf), tp))
+
+        return jnp.min(jax.vmap(polish)(starts))
+
+    keys = jax.random.split(key, S)
+    return jax.vmap(one_study)(task_params, keys)
+
+
 def campaign_inputs_from_benchmark(benchmark_cls, n_data_per_task,
                                    study_seeds, noise_std: float,
                                    meta_distribution: str = "random",
-                                   dtype=jnp.float64):
+                                   dtype=jnp.float64,
+                                   optimum_method: str = "shgo"):
     """Build (benchmark_fn, task_params, meta TaskData, optima) for a batch
     of seeded studies of a synthetic benchmark.
 
     Per study seed this mirrors ``local_runner.run_study``: instantiate the
     benchmark with the seed (fresh random tasks), generate noisy meta-data,
-    and record the noise-free SHGO/analytic optimum for regret computation.
+    and record the noise-free optimum for regret computation.
+
+    Args:
+        optimum_method: "shgo" — the reference's host-side scipy SHGO per
+            study (slow for 6-D); "device" — on-device multi-start polish
+            (``device_optima``), orders of magnitude faster at matching
+            accuracy.
     """
     fn = JAX_FUNCTIONS[benchmark_cls.__name__]
 
@@ -95,7 +156,8 @@ def campaign_inputs_from_benchmark(benchmark_cls, n_data_per_task,
         task_data_list.append(m.pack_task_data(xs, ys, dtype=dtype))
         task_param_list.append({k: jnp.asarray(v, dtype) for k, v in
                                 _task_param_dict(b.target_task).items()})
-        optima.append(float(b.optimum))
+        if optimum_method == "shgo":
+            optima.append(float(b.optimum))
 
     import jax
 
@@ -103,4 +165,58 @@ def campaign_inputs_from_benchmark(benchmark_cls, n_data_per_task,
         lambda *ls: jnp.stack(ls), *task_param_list)
     meta_data = jax.tree_util.tree_map(
         lambda *ls: jnp.stack(ls), *task_data_list)
-    return fn, task_params, meta_data, jnp.asarray(optima, dtype)
+    if optimum_method == "device":
+        d = task_data_list[0].X.shape[-1]
+        optima_arr = device_optima(fn, task_params, d)
+    elif optimum_method == "shgo":
+        optima_arr = jnp.asarray(optima, dtype)
+    else:
+        raise ValueError(f"unknown optimum_method: {optimum_method!r}")
+    return fn, task_params, meta_data, optima_arr
+
+
+def campaign_to_study_results(benchmark_cls, n_data_per_task, study_seeds,
+                              result, optima,
+                              objective_name: str = "loss",
+                              noisy: bool = True):
+    """Convert a ``CampaignResult`` to the study-runner's per-study result
+    dicts (``local_runner.run_study`` schema), so campaign output flows into
+    the same regret analytics / ``grouped_results`` plotting as host-runner
+    output (reference ``local_runner.py:183-201``, ``plotting.py:21-53``).
+
+    ``optima`` must be the per-study optima returned by
+    ``campaign_inputs_from_benchmark`` — the target task is intentionally
+    unseeded (a fresh draw per benchmark instance, matching the reference's
+    ``base.py:128`` semantics), so it cannot be reconstructed here.  The
+    search space, by contrast, is task-independent, so one throwaway
+    instance decodes unit-cube proposals back into configurations.
+    """
+    X = np.asarray(result.X)
+    y = np.asarray(result.y)
+    y_clean = np.asarray(result.y_clean)
+    optima = np.asarray(optima)
+
+    space = benchmark_cls(n_data_per_task=list(n_data_per_task),
+                          seed=0).search_space
+    studies = []
+    for si, seed in enumerate(study_seeds):
+        evaluations = []
+        for e in range(X.shape[1]):
+            config = space.from_numerical(X[si, e])
+            if noisy:
+                objectives = {
+                    f"{objective_name} (noisy)": float(y[si, e]),
+                    f"{objective_name} (noise free)": float(y_clean[si, e]),
+                }
+            else:
+                objectives = {objective_name: float(y_clean[si, e])}
+            evaluations.append({"configuration": config,
+                                "objectives": objectives})
+        studies.append({
+            "optimum": float(optima[si]),
+            "objectives": [{"name": objective_name,
+                            "greater_is_better": False}],
+            "evaluations": evaluations,
+            "seed": int(seed),
+        })
+    return studies

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--studies", type=int, default=16)
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", type=int, default=0)
+    ap.add_argument("--optimum-method", default="shgo",
+                    choices=["shgo", "device"])
     ap.add_argument("--out", default=None, help="JSON output path")
     args = ap.parse_args()
 
@@ -68,7 +70,8 @@ def main():
         t0 = time.time()
         fn, tps, md, optima = campaign_inputs_from_benchmark(
             cls, [N] * M, study_seeds=range(args.studies),
-            noise_std=args.sigma, dtype=dtype)
+            noise_std=args.sigma, dtype=dtype,
+            optimum_method=args.optimum_method)
         res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg)
         reg = np.asarray(simple_regret(res.y_clean, optima))
         # average cumulative regret per study, then mean +/- SEM over studies

@@ -34,12 +34,19 @@ def main():
                     help="float64 (CPU parity mode); default f32")
     ap.add_argument("--loop", default="host", choices=["host", "device"])
     ap.add_argument("--fit-method", default="map", choices=["map", "hmc"])
+    ap.add_argument("--optimum-method", default="shgo",
+                    choices=["shgo", "device"],
+                    help="'device': on-device multi-start minima instead of "
+                         "host-side SHGO (much faster setup for 6-D)")
     ap.add_argument("--shard-studies", action="store_true",
                     help="shard the study axis over all devices")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
                     help="force CPU backend with N virtual devices (the axon "
                          "TPU plugin ignores JAX_PLATFORMS=cpu)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--plot", default=None, metavar="PDF",
+                    help="render a regret figure through the plotting layer "
+                         "(campaign -> study schema -> grouped_results)")
     args = ap.parse_args()
 
     import jax
@@ -67,7 +74,8 @@ def main():
     t0 = time.time()
     fn, tps, md, optima = campaign_inputs_from_benchmark(
         cls, [args.points] * args.tasks, study_seeds=range(args.studies),
-        noise_std=args.sigma, dtype=dtype)
+        noise_std=args.sigma, dtype=dtype,
+        optimum_method=args.optimum_method)
     t_setup = time.time() - t0
 
     mesh = None
@@ -100,6 +108,43 @@ def main():
     if args.out:
         np.save(args.out, reg)
         print(f"saved {reg.shape} -> {args.out}")
+
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from scamlgp_tpu.benchmarking.configurations.styles import (
+            OPTIMIZER_STYLES,
+        )
+        from scamlgp_tpu.benchmarking.experiment_config_utils import (
+            Experiment,
+        )
+        from scamlgp_tpu.benchmarking.jax_adapters import (
+            campaign_to_study_results,
+        )
+        from scamlgp_tpu.benchmarking.plotting import grouped_results
+        from scamlgp_tpu.bo.core import Objective
+        from scamlgp_tpu.bo.optimizer import ScaMLGPBO
+
+        studies = campaign_to_study_results(
+            cls, [args.points] * args.tasks, list(range(args.studies)),
+            res, optima)
+        config = Experiment(
+            optimizer=ScaMLGPBO,
+            benchmark={"cls": args.benchmark,
+                       "kwargs": {"n_data_per_task":
+                                  [args.points] * args.tasks}},
+            n_evaluations=args.evals, n_studies=args.studies, compute="TPU")
+        runs = [{"experiment_config": config.__dict__, "studies": studies}]
+        title = (f"{args.benchmark} M={args.tasks} N={args.points} "
+                 f"sigma={args.sigma} ({jax.default_backend()})")
+        fig = grouped_results(runs, optimizer_styles=OPTIMIZER_STYLES,
+                              groups={title: [config]},
+                              robust_statistics=True,
+                              objective=Objective("loss", False),
+                              use_regrets=True)
+        fig.savefig(args.plot, bbox_inches="tight")
+        print(f"figure -> {args.plot}")
 
 
 if __name__ == "__main__":

@@ -100,3 +100,27 @@ def test_eval_spec_settings_override(seed):
         configuration=config, settings={"r": 5.5, "s": 9.0},
         context={"t": 0.04}))
     assert default.objectives["loss"] != overridden.objectives["loss"]
+
+
+def test_device_optima_matches_shgo(seed):
+    """On-device multi-start minima == the reference's host-side SHGO
+    (``benchmarks/base.py:258-268``) on the same task draws."""
+    import jax
+
+    from scamlgp_tpu.benchmarking.benchmarks import Branin, Hartmann3D
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+        device_optima,
+    )
+
+    for cls in (Branin, Hartmann3D):
+        fn, tps, md, opt_shgo = campaign_inputs_from_benchmark(
+            cls, [6] * 2, study_seeds=[seed % 1000, seed % 1000 + 1],
+            noise_std=0.1, optimum_method="shgo")
+        # same task draws: reuse tps rather than re-instantiating (the
+        # target task is intentionally unseeded, base.py:128)
+        opt_dev = device_optima(fn, tps, md.X.shape[-1],
+                                key=jax.random.PRNGKey(seed))
+        np.testing.assert_allclose(np.asarray(opt_dev),
+                                   np.asarray(opt_shgo), rtol=1e-4,
+                                   atol=1e-4)

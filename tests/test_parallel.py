@@ -132,6 +132,26 @@ def test_campaign_reduces_regret():
     assert np.all(np.diff(reg, axis=1) <= 1e-12)
     assert np.all(reg[:, -1] < np.maximum(0.5, reg[:, 0]))
 
+    # bridge: campaign output -> study-runner schema -> plotting analytics
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_to_study_results,
+    )
+    from scamlgp_tpu.benchmarking.plotting import _regrets_from_studies
+
+    studies = campaign_to_study_results(Quadratic, [10] * 3, [0, 1], res,
+                                        optima)
+    assert [s["seed"] for s in studies] == [0, 1]
+    assert set(studies[0]["evaluations"][0]["objectives"]) == {
+        "loss (noisy)", "loss (noise free)"}
+    # decoded configurations land in the benchmark's search space
+    b = Quadratic(n_data_per_task=[10] * 3, seed=0)
+    for ev in studies[0]["evaluations"]:
+        assert b.search_space.check_validity(ev["configuration"])
+    # plotting regret (vs each study's own optimum) == campaign simple_regret
+    plot_reg = np.stack(
+        [np.asarray(r) for r in _regrets_from_studies(studies)])
+    np.testing.assert_allclose(plot_reg, reg, rtol=1e-5, atol=1e-7)
+
 
 def test_campaign_hmc_mode_reduces_regret():
     """fit_method='hmc': posterior-marginalized acquisition inside the
