@@ -207,7 +207,10 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                  target_cfg: Optional[gp.GPConfig] = None,
                  cfg: CampaignConfig = CampaignConfig(),
                  meta_fit_restarts: int = 3, meta_fit_steps: int = 50,
-                 loop: str = "host", mesh=None) -> CampaignResult:
+                 loop: str = "host", mesh=None,
+                 checkpoint_path=None,
+                 checkpoint_every: int = 10,
+                 stop_after: Optional[int] = None) -> CampaignResult:
     """Run S studies in lock-step on device.
 
     Args:
@@ -231,6 +234,14 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             program with zero collectives — studies are independent, so
             scaling is communication-free by construction.  Use
             ``make_mesh(study=n_devices)``.
+        checkpoint_path: host-loop only — persist the campaign state (data
+            buffers, fitted params, PRNG keys, iteration counter) every
+            ``checkpoint_every`` iterations via ``utils.checkpoint``; if the
+            file already exists, the campaign RESUMES from it (pre-emption
+            safety the reference's process pool lacks, SURVEY.md section 5).
+        stop_after: host-loop only — checkpoint and return after this many
+            iterations (pre-emption drill / incremental execution; resume by
+            calling again with the same ``checkpoint_path``).
     """
     source_cfg = source_cfg or gp.source_gp_config()
     target_cfg = target_cfg or gp.target_gp_config()
@@ -265,6 +276,32 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
     else:
         def shard_studies(tree):
             return tree
+
+    # ---- checkpoint restore (host loop) -----------------------------------
+    # Restored BEFORE the meta-fit: the checkpoint carries task_params and
+    # meta_data because target tasks are intentionally unseeded (reference
+    # base.py:128) — a fresh process would otherwise resume the campaign
+    # against DIFFERENT target functions.
+    start = 0
+    _resume = None
+    if checkpoint_path is not None and loop == "host":
+        import os
+
+        from scamlgp_tpu.utils import checkpoint as ckpt
+
+        if os.path.exists(str(checkpoint_path) + ".npz"):
+            params_tpl = jax.vmap(
+                lambda _: m.init_target_params(target_cfg, M, d, dtype))(
+                    jnp.arange(S))
+            tpl = (task_params, meta_data,
+                   jnp.zeros((S, E, d), dtype), jnp.zeros((S, E), dtype),
+                   jnp.zeros((S, E), dtype), jnp.zeros((S, E), dtype),
+                   params_tpl, jax.random.split(key, S),
+                   jnp.zeros((), jnp.int32))
+            (task_params, meta_data, Xb0, yb0, yc0, mk0, p0, sk0,
+             cnt) = ckpt.load_pytree_like(checkpoint_path, tpl)
+            _resume = (Xb0, yb0, yc0, mk0, p0, sk0)
+            start = int(cnt)
 
     # ---- meta-fit: fold (study, task) into one big task axis, fit once ----
     flat = m.TaskData(*[jnp.reshape(l, (S * M,) + l.shape[2:])
@@ -413,14 +450,22 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                 st, tp, xb, yb, yc, mk, pr, k, i)
         )(stacks, task_params, Xbuf, ybuf, yclean, mask, params, keys)
 
-    Xbuf = shard_studies(jnp.zeros((S, E, d), dtype))
-    ybuf = shard_studies(jnp.zeros((S, E), dtype))
-    yclean = shard_studies(jnp.zeros((S, E), dtype))
-    mask = shard_studies(jnp.zeros((S, E), dtype))
-    params = shard_studies(jax.vmap(
-        lambda _: m.init_target_params(target_cfg, M, d, dtype))(
-            jnp.arange(S)))
-    for i in range(E):
+    if _resume is not None:
+        Xbuf, ybuf, yclean, mask, params, study_keys = [
+            shard_studies(l) for l in _resume]
+    else:
+        Xbuf = shard_studies(jnp.zeros((S, E, d), dtype))
+        ybuf = shard_studies(jnp.zeros((S, E), dtype))
+        yclean = shard_studies(jnp.zeros((S, E), dtype))
+        mask = shard_studies(jnp.zeros((S, E), dtype))
+        params = shard_studies(jax.vmap(
+            lambda _: m.init_target_params(target_cfg, M, d, dtype))(
+                jnp.arange(S)))
+
+    if checkpoint_path is not None:
+        from scamlgp_tpu.utils import checkpoint as ckpt
+
+    for i in range(start, E):
         study_keys = jax.vmap(
             lambda k: jax.random.split(k)[0])(study_keys)
         iter_keys = jax.vmap(
@@ -428,6 +473,16 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
         Xbuf, ybuf, yclean, mask, params = iteration(
             stacks, task_params, Xbuf, ybuf, yclean, mask, params,
             iter_keys, i)
+        stopping = stop_after is not None and i + 1 >= start + stop_after
+        if (checkpoint_path is not None
+                and ((i + 1) % checkpoint_every == 0 or i + 1 == E
+                     or stopping)):
+            ckpt.save_pytree(
+                checkpoint_path,
+                (task_params, meta_data, Xbuf, ybuf, yclean, mask, params,
+                 study_keys, jnp.asarray(i + 1, jnp.int32)))
+        if stopping:
+            break
     return CampaignResult(X=Xbuf[:S_real], y=ybuf[:S_real],
                           y_clean=yclean[:S_real])
 

@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
                     help="force CPU backend with N virtual devices (the axon "
                          "TPU plugin ignores JAX_PLATFORMS=cpu)")
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="checkpoint/resume the campaign state at this path "
+                         "(resumes automatically if it exists)")
+    ap.add_argument("--stop-after", type=int, default=None,
+                    help="checkpoint and exit after N iterations "
+                         "(pre-emption drill)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--plot", default=None, metavar="PDF",
                     help="render a regret figure through the plotting layer "
@@ -76,6 +82,16 @@ def main():
         cls, [args.points] * args.tasks, study_seeds=range(args.studies),
         noise_std=args.sigma, dtype=dtype,
         optimum_method=args.optimum_method)
+    # target tasks are unseeded (fresh draw per process): on resume the
+    # campaign restores task_params/meta_data from its checkpoint, and the
+    # matching optima are persisted next to it
+    if args.checkpoint:
+        optima_path = str(args.checkpoint) + "_optima.npy"
+        if os.path.exists(optima_path):
+            optima = jnp.asarray(np.load(optima_path), dtype)
+        else:
+            os.makedirs(os.path.dirname(optima_path) or ".", exist_ok=True)
+            np.save(optima_path, np.asarray(optima))
     t_setup = time.time() - t0
 
     mesh = None
@@ -88,13 +104,22 @@ def main():
                          fit_method=args.fit_method)
     t0 = time.time()
     res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
-                       loop=args.loop, mesh=mesh)
+                       loop=args.loop, mesh=mesh,
+                       checkpoint_path=args.checkpoint,
+                       stop_after=args.stop_after)
     reg = np.asarray(simple_regret(res.y_clean, optima))
     t_run = time.time() - t0
 
+    # summarize only the filled prefix (truncated runs leave zeroed slots)
+    X_np = np.asarray(res.X)
+    filled = int(np.any(X_np != 0.0, axis=(0, 2)).sum())
+    if filled < args.evals:
+        print(f"# truncated run: {filled}/{args.evals} iterations filled "
+              f"(resume with --checkpoint to complete)")
+        reg = reg[:, :max(filled, 1)]
     med = np.median(reg, axis=0)
-    iters = sorted({i for i in (1, 5, 10, 20, 30, 40, 60, 80, args.evals)
-                    if i <= args.evals})
+    iters = sorted({i for i in (1, 5, 10, 20, 30, 40, 60, 80, reg.shape[1])
+                    if i <= reg.shape[1]})
     print(json.dumps({
         "benchmark": args.benchmark, "tasks": args.tasks,
         "points": args.points, "sigma": args.sigma, "evals": args.evals,

@@ -153,6 +153,36 @@ def test_campaign_reduces_regret():
     np.testing.assert_allclose(plot_reg, reg, rtol=1e-5, atol=1e-7)
 
 
+def test_campaign_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Pre-emption drill: stop after 2 iterations, resume from the
+    checkpoint, and reproduce the uninterrupted campaign exactly (buffers,
+    params and PRNG keys are all part of the checkpointed state)."""
+    from scamlgp_tpu.benchmarking.benchmarks import Quadratic
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+    )
+    from scamlgp_tpu.parallel.campaign import CampaignConfig, run_campaign
+
+    fn, tps, md, optima = campaign_inputs_from_benchmark(
+        Quadratic, [8] * 2, study_seeds=[0, 1], noise_std=0.05)
+    cfg = CampaignConfig(n_evaluations=4, noise_std=0.05, fit_steps=10,
+                         fit_restarts=1, acq_raw_samples=32, acq_topk=2,
+                         acq_steps=5)
+    kw = dict(cfg=cfg, meta_fit_restarts=1, meta_fit_steps=8)
+    res_full = run_campaign(fn, tps, md, jax.random.PRNGKey(0), **kw)
+
+    path = tmp_path / "campaign_ckpt"
+    res_part = run_campaign(fn, tps, md, jax.random.PRNGKey(0),
+                            checkpoint_path=path, stop_after=2, **kw)
+    assert float(np.sum(np.asarray(res_part.X)[:, 2:])) == 0.0  # truncated
+    res_resumed = run_campaign(fn, tps, md, jax.random.PRNGKey(0),
+                               checkpoint_path=path, **kw)
+    np.testing.assert_allclose(np.asarray(res_resumed.X),
+                               np.asarray(res_full.X), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(res_resumed.y_clean),
+                               np.asarray(res_full.y_clean), rtol=1e-8)
+
+
 def test_campaign_hmc_mode_reduces_regret():
     """fit_method='hmc': posterior-marginalized acquisition inside the
     vectorized campaign (campaign analogue of ScaMLGPBO(fit_method='hmc'))."""
