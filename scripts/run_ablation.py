@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--sigma", type=float, default=1.0)
     ap.add_argument("--evals", type=int, default=40)
     ap.add_argument("--studies", type=int, default=16)
+    ap.add_argument("--seed-offset", type=int, default=0,
+                    help="first study seed (split big configs into batches)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", type=int, default=0)
     ap.add_argument("--optimum-method", default="shgo",
@@ -69,7 +71,9 @@ def main():
         N = args.points if args.axis == "tasks" else v
         t0 = time.time()
         fn, tps, md, optima = campaign_inputs_from_benchmark(
-            cls, [N] * M, study_seeds=range(args.studies),
+            cls, [N] * M,
+            study_seeds=range(args.seed_offset,
+                              args.seed_offset + args.studies),
             noise_std=args.sigma, dtype=dtype,
             optimum_method=args.optimum_method)
         res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg)

@@ -211,6 +211,48 @@ def test_campaign_hmc_mode_reduces_regret():
     assert np.all(reg[:, -1] <= reg[:, 0])
 
 
+def test_fast_acq_state_matches_joint(meta):
+    """The cached-predictive acquisition path (one n x n factorization per
+    refit, O(n) work per candidate) must be numerically identical to the
+    joint (n+1)-system path it replaced, including masked padding rows."""
+    from scamlgp_tpu.parallel.campaign import (
+        _study_acq_state,
+        _study_posterior_diag,
+        _study_posterior_diag_fast,
+    )
+
+    xs, ys = meta
+    stack, source_cfg = m.meta_fit_scamlgp(
+        xs, ys, key=jax.random.PRNGKey(3),
+        num_restarts_log_likelihood=1, num_steps=20)
+    target_cfg = gp.target_gp_config()
+    M, d = stack.data.X.shape[0], stack.data.X.shape[-1]
+    dtype = stack.data.X.dtype
+
+    rng = np.random.default_rng(7)
+    n = 6
+    Xbuf = jnp.asarray(rng.uniform(size=(n, d)), dtype)
+    ybuf = jnp.asarray(np.sin(4 * np.asarray(Xbuf)[:, 0]), dtype)
+    mask = jnp.asarray([1, 1, 1, 1, 0, 0], dtype)  # 2 padded rows
+    out_mean, out_std = jnp.asarray(0.3, dtype), jnp.asarray(1.7, dtype)
+    params = m.sample_target_params(target_cfg, jax.random.PRNGKey(9), M, d,
+                                    dtype)
+    Xq = jnp.asarray(rng.uniform(size=(17, d)), dtype)
+
+    mu_j, var_j = _study_posterior_diag(
+        stack, source_cfg, target_cfg, params, Xbuf, ybuf, mask,
+        out_mean, out_std, Xq, pruning_threshold=1e-3)
+    state = _study_acq_state(
+        stack, source_cfg, target_cfg, params, Xbuf, ybuf, mask,
+        out_mean, out_std, pruning_threshold=1e-3)
+    mu_f, var_f = _study_posterior_diag_fast(
+        stack, source_cfg, target_cfg, state, Xbuf, Xq)
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_j),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_j),
+                               rtol=1e-7, atol=1e-9)
+
+
 def test_campaign_study_sharded_matches_unsharded():
     """mesh=make_mesh(study=8): same program partitioned over the study axis
     must reproduce the single-device campaign (studies are independent, so
