@@ -58,27 +58,32 @@ def metadata_to_numerical(meta_data: Dict[Hashable, Iterable[Evaluation]],
 
 
 def _acq_value(static_args, args, x):
-    """Acquisition value at a single point (top-level for stable jit cache)."""
+    """Acquisition value at a single point (top-level for stable jit cache).
+    Uses the cached-predictive state (built once per refit in
+    ``generate_evaluation_specification``) — O(n) per candidate instead of a
+    fresh (n+1)-system Cholesky."""
     source_cfg, target_cfg, af = static_args
-    model, best_f = args
-    mean, var = model_lib.scamlgp_posterior_diag(
-        model, source_cfg, target_cfg, x[None, :], original_scale=True)
+    model, state, best_f = args
+    mean, var = model_lib.scamlgp_posterior_diag_cached(
+        model, source_cfg, target_cfg, state, x[None, :],
+        original_scale=True)
     return af(mean[0], var[0], best_f)
 
 
 def _acq_value_hmc(static_args, args, x):
     """Acquisition under the hyperparameter-posterior mixture (HMC samples):
-    mean = E[mu], var = E[var + mu^2] - mean^2 over sampled TargetParams."""
+    mean = E[mu], var = E[var + mu^2] - mean^2 over sampled TargetParams,
+    each sample with its own cached-predictive state."""
     source_cfg, target_cfg, af = static_args
-    model, samples, best_f = args
+    model, states, best_f = args
 
-    def one(p):
-        mm = model._replace(params=p)
-        mean, var = model_lib.scamlgp_posterior_diag(
-            mm, source_cfg, target_cfg, x[None, :], original_scale=True)
+    def one(st):
+        mean, var = model_lib.scamlgp_posterior_diag_cached(
+            model, source_cfg, target_cfg, st, x[None, :],
+            original_scale=True)
         return mean[0], var[0]
 
-    means, variances = jax.lax.map(one, samples)
+    means, variances = jax.lax.map(one, states)
     mean = jnp.mean(means)
     var = jnp.mean(variances + means**2) - mean**2
     return af(mean, jnp.maximum(var, 1e-30), best_f)
@@ -245,15 +250,21 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
             best_f = jnp.asarray(min(finite) if finite else np.inf, self.dtype)
             self._key, k_af = jax.random.split(self._key)
             if self.fit_method == "hmc" and self._hyper_samples is not None:
+                states = jax.vmap(
+                    lambda p: model_lib.scamlgp_acq_state(
+                        self.model, self.source_cfg, self.target_cfg,
+                        params=p))(self._hyper_samples)
                 res = acqopt.optimize_acqf(
                     _acq_value_hmc, (self.source_cfg, self.target_cfg, af),
-                    (self.model, self._hyper_samples, best_f),
+                    (self.model, states, best_f),
                     self._n_features, k_af,
                     dtype=self.dtype, **self.af_optimizer_kwargs)
             else:
+                state = model_lib.scamlgp_acq_state(
+                    self.model, self.source_cfg, self.target_cfg)
                 res = acqopt.optimize_acqf(
                     _acq_value, (self.source_cfg, self.target_cfg, af),
-                    (self.model, best_f), self._n_features, k_af,
+                    (self.model, state, best_f), self._n_features, k_af,
                     dtype=self.dtype, **self.af_optimizer_kwargs)
             vec = impute_nans_with_constant(np.asarray(res.x, np.float64))
             config = self.search_space.from_numerical(vec)

@@ -392,6 +392,130 @@ def scamlgp_posterior(model: ScaMLGP, source_cfg: gp.GPConfig,
     return mean, cov
 
 
+class AcqState(NamedTuple):
+    """Candidate-independent cache for the acquisition hot path.
+
+    The joint-conditioning posterior rebuilds the (n+1)-point system — gram
+    assembly + Cholesky — for EVERY candidate (the gpytorch eval-mode path,
+    reference ``model.py:359-384``).  This state is built ONCE per refit and
+    turns each candidate into O(M*Ns + n) triangular solves against cached
+    factors: the standard cached-predictive structure of exact GPs (reference
+    gpytorch caches, ``model.py:128``).
+    """
+
+    st: linalg.CholState     # factorization of the standardized n x n system
+    v1: jnp.ndarray          # (M, Ns, n) per-source L^{-1} K(Xs, train_X)
+    w_eff: jnp.ndarray       # (M,) pruned mixture weights
+    c: gp.Constrained        # constrained target kernel + noise
+    out_mean: jnp.ndarray    # () frozen global normalizer
+    out_std: jnp.ndarray     # ()
+
+
+def acq_state_from_parts(stack: SourceStack, source_cfg: gp.GPConfig,
+                         target_cfg: gp.GPConfig, params: TargetParams,
+                         Xbuf, ybuf, mask, out_mean, out_std,
+                         pruning_threshold: float) -> AcqState:
+    """Build the cached acquisition state from explicit buffers (shared by
+    the sequential driver and the vectorized campaigns)."""
+    w = weights_forward(params.raw_weights)
+    prune = significant_weights_mask(
+        w, stack.data.std, pruning_threshold).astype(Xbuf.dtype)
+    w_eff = w * prune
+    c = gp.constrain(target_cfg, params.gp)
+
+    means_n, covs_nn = source_predict(stack, source_cfg, Xbuf, full_cov=True)
+    mean_p = jnp.einsum("mq,m->q", means_n, w_eff)
+    cov_p = jnp.einsum("mqp,m->qp", covs_nn, w_eff ** 2)
+    mean_std_n = (mean_p - out_mean) / out_std
+    cov_std = cov_p / out_std ** 2
+    Kt_nn = gp.gram(target_cfg, c, Xbuf)
+    y_std = (ybuf - out_mean) / out_std * mask
+    resid = y_std - mean_std_n * mask
+    st = linalg.cholesky_factor(cov_std + Kt_nn, c.noise, resid, mask)
+
+    def src_v1(xs, msk, chol, p):
+        cs = gp.constrain(source_cfg, p)
+        Kxn = gp.gram(source_cfg, cs, xs, Xbuf) * msk[:, None]
+        return jax.lax.linalg.triangular_solve(chol, Kxn, left_side=True,
+                                               lower=True)
+
+    v1 = jax.vmap(src_v1)(stack.data.X, stack.data.mask, stack.chol,
+                          stack.params)                    # (M, Ns, n)
+    return AcqState(st=st, v1=v1, w_eff=w_eff, c=c, out_mean=out_mean,
+                    out_std=out_std)
+
+
+def posterior_diag_from_state(stack: SourceStack, source_cfg: gp.GPConfig,
+                              target_cfg: gp.GPConfig, state: AcqState,
+                              Xbuf, Xq, original_scale: bool = True):
+    """Marginal posterior at candidates ``Xq`` via the cached state —
+    numerically identical to the joint-conditioning path (pinned by
+    ``tests/test_parallel.py::test_fast_acq_state_matches_joint`` and
+    ``tests/test_scamlgp.py::test_cached_posterior_matches_joint``)."""
+    hi = jax.lax.Precision.HIGHEST
+    st, v1, w_eff, c, out_mean, out_std = state
+
+    def one(x):
+        xq = x[None]
+
+        def src(xs, msk, chol, alpha, p, t_mean, t_std, v1_m):
+            cs = gp.constrain(source_cfg, p)
+            Ksq = gp.gram(source_cfg, cs, xs, xq) * msk[:, None]  # (Ns, 1)
+            mean_q = jnp.matmul(Ksq.T, alpha, precision=hi)[0]
+            v2 = jax.lax.linalg.triangular_solve(chol, Ksq, left_side=True,
+                                                 lower=True)      # (Ns, 1)
+            knq = gp.gram(source_cfg, cs, Xbuf, xq)[:, 0]         # (n,)
+            cross = knq - jnp.matmul(v1_m.T, v2, precision=hi)[:, 0]
+            qq = gp.gram(source_cfg, cs, xq)[0, 0] - jnp.sum(v2 * v2)
+            return (t_mean + t_std * mean_q, (t_std ** 2) * cross,
+                    (t_std ** 2) * qq)
+
+        d = stack.data
+        means_q, crosses, qqs = jax.vmap(src)(
+            d.X, d.mask, stack.chol, stack.alpha, stack.params, d.mean,
+            d.std, v1)
+
+        mean_q_std = ((jnp.einsum("m,m->", w_eff, means_q) - out_mean)
+                      / out_std)
+        cross_std = jnp.einsum("m,mn->n", w_eff ** 2, crosses) / out_std ** 2
+        qq_std = jnp.einsum("m,m->", w_eff ** 2, qqs) / out_std ** 2
+
+        kt_nq = gp.gram(target_cfg, c, Xbuf, xq)[:, 0]
+        kt_qq = gp.gram(target_cfg, c, xq)[0, 0]
+        B = (cross_std + kt_nq)[:, None]
+        mu, var = linalg.posterior(st, B, Kqq_diag=(qq_std + kt_qq)[None])
+        mu = mu[0] + mean_q_std
+        var = jnp.maximum(var[0], 1e-30)
+        if original_scale:
+            return mu * out_std + out_mean, var * out_std ** 2
+        return mu, var
+
+    return jax.vmap(one)(Xq)
+
+
+def scamlgp_acq_state(model: ScaMLGP, source_cfg: gp.GPConfig,
+                      target_cfg: gp.GPConfig,
+                      pruning_threshold: float = DEFAULT_PRUNING_THRESHOLD,
+                      params: Optional[TargetParams] = None) -> AcqState:
+    """Cached acquisition state for a fitted model (build once per refit;
+    pass ``params`` to override, e.g. per HMC posterior draw)."""
+    p = model.params if params is None else params
+    return acq_state_from_parts(
+        model.source, source_cfg, target_cfg, p, model.train_X,
+        model.train_y, model.train_mask, model.out_mean, model.out_std,
+        pruning_threshold)
+
+
+def scamlgp_posterior_diag_cached(model: ScaMLGP, source_cfg: gp.GPConfig,
+                                  target_cfg: gp.GPConfig, state: AcqState,
+                                  Xq, original_scale: bool = True):
+    """Marginal (mean, var) at ``Xq`` via the cached state — same result as
+    ``scamlgp_posterior_diag`` at O(n)-per-candidate cost."""
+    return posterior_diag_from_state(model.source, source_cfg, target_cfg,
+                                     state, model.train_X, Xq,
+                                     original_scale=original_scale)
+
+
 def scamlgp_posterior_diag(model: ScaMLGP, source_cfg: gp.GPConfig,
                            target_cfg: gp.GPConfig, Xq,
                            pruning_threshold: float = DEFAULT_PRUNING_THRESHOLD,

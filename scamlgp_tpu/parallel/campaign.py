@@ -93,44 +93,11 @@ def _study_posterior_diag(stack, source_cfg, target_cfg, params, Xbuf, ybuf,
 
 def _study_acq_state(stack, source_cfg, target_cfg, params, Xbuf, ybuf, mask,
                      out_mean, out_std, pruning_threshold):
-    """Candidate-independent precomputation for the acquisition: ONE
-    factorization of the n x n hierarchical training system per refit, plus
-    the per-source triangular solves at the target data.
-
-    ``_study_posterior_diag`` rebuilds the joint (n+1) system — gram
-    assembly + Cholesky — for EVERY candidate evaluation (~raw_samples +
-    topk*acq_steps times per BO iteration); this state turns each candidate
-    into O(M*Ns*n + n^2) solves against cached factors, the standard
-    cached-predictive structure of exact GPs (reference gpytorch caches,
-    ``model.py:128``)."""
-    hi = jax.lax.Precision.HIGHEST
-    w = m.weights_forward(params.raw_weights)
-    prune = m.significant_weights_mask(
-        w, stack.data.std, pruning_threshold).astype(Xbuf.dtype)
-    w_eff = w * prune
-    c = gp.constrain(target_cfg, params.gp)
-
-    means_n, covs_nn = m.source_predict(stack, source_cfg, Xbuf,
-                                        full_cov=True)
-    mean_p = jnp.einsum("mq,m->q", means_n, w_eff)
-    cov_p = jnp.einsum("mqp,m->qp", covs_nn, w_eff ** 2)
-    mean_std_n = (mean_p - out_mean) / out_std
-    cov_std = cov_p / out_std ** 2
-    Kt_nn = gp.gram(target_cfg, c, Xbuf)
-    y_std = (ybuf - out_mean) / out_std * mask
-    resid = y_std - mean_std_n * mask
-    st = linalg.cholesky_factor(cov_std + Kt_nn, c.noise, resid, mask)
-
-    def src_v1(xs, msk, chol, p):
-        cs = gp.constrain(source_cfg, p)
-        Kxn = gp.gram(source_cfg, cs, xs, Xbuf) * msk[:, None]
-        return jax.lax.linalg.triangular_solve(chol, Kxn, left_side=True,
-                                               lower=True)
-
-    v1 = jax.vmap(src_v1)(stack.data.X, stack.data.mask, stack.chol,
-                          stack.params)                    # (M, Ns, n)
-    del hi
-    return (st, v1, w_eff, c, out_mean, out_std)
+    """Candidate-independent acquisition cache for ONE study — see
+    ``models.scamlgp.acq_state_from_parts``."""
+    return m.acq_state_from_parts(stack, source_cfg, target_cfg, params,
+                                  Xbuf, ybuf, mask, out_mean, out_std,
+                                  pruning_threshold)
 
 
 def _study_posterior_diag_fast(stack, source_cfg, target_cfg, acq_state,
@@ -138,44 +105,8 @@ def _study_posterior_diag_fast(stack, source_cfg, target_cfg, acq_state,
     """Marginal posterior at candidates via the cached acquisition state —
     numerically identical to ``_study_posterior_diag`` (pinned by
     ``tests/test_parallel.py::test_fast_acq_state_matches_joint``)."""
-    hi = jax.lax.Precision.HIGHEST
-    st, v1, w_eff, c, out_mean, out_std = acq_state
-
-    def one(x):
-        xq = x[None]
-
-        def src(xs, msk, chol, alpha, p, t_mean, t_std, v1_m):
-            cs = gp.constrain(source_cfg, p)
-            Ksq = gp.gram(source_cfg, cs, xs, xq) * msk[:, None]  # (Ns, 1)
-            mean_q = jnp.matmul(Ksq.T, alpha, precision=hi)[0]
-            v2 = jax.lax.linalg.triangular_solve(chol, Ksq, left_side=True,
-                                                 lower=True)      # (Ns, 1)
-            knq = gp.gram(source_cfg, cs, Xbuf, xq)[:, 0]         # (n,)
-            cross = knq - jnp.matmul(v1_m.T, v2, precision=hi)[:, 0]
-            qq = gp.gram(source_cfg, cs, xq)[0, 0] - jnp.sum(v2 * v2)
-            return (t_mean + t_std * mean_q, (t_std ** 2) * cross,
-                    (t_std ** 2) * qq)
-
-        d = stack.data
-        means_q, crosses, qqs = jax.vmap(src)(
-            d.X, d.mask, stack.chol, stack.alpha, stack.params, d.mean,
-            d.std, v1)
-
-        mean_q_std = ((jnp.einsum("m,m->", w_eff, means_q) - out_mean)
-                      / out_std)
-        cross_std = jnp.einsum("m,mn->n", w_eff ** 2, crosses) / out_std ** 2
-        qq_std = jnp.einsum("m,m->", w_eff ** 2, qqs) / out_std ** 2
-
-        kt_nq = gp.gram(target_cfg, c, Xbuf, xq)[:, 0]
-        kt_qq = gp.gram(target_cfg, c, xq)[0, 0]
-        B = (cross_std + kt_nq)[:, None]
-        mu, var = linalg.posterior(st, B,
-                                   Kqq_diag=(qq_std + kt_qq)[None])
-        mu = mu[0] + mean_q_std
-        var = jnp.maximum(var[0], 1e-30)
-        return mu * out_std + out_mean, var * out_std ** 2
-
-    return jax.vmap(one)(Xq)
+    return m.posterior_diag_from_state(stack, source_cfg, target_cfg,
+                                       acq_state, Xbuf, Xq)
 
 
 def _fit_target(stack, source_cfg, target_cfg, params_warm, Xbuf, ybuf, mask,

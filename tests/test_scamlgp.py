@@ -203,6 +203,29 @@ def test_posterior_diag_matches_full(fitted):
         assert abs(float(var_d[j]) - float(cov_f[0, 0])) < 1e-8
 
 
+def test_cached_posterior_matches_joint(fitted):
+    """scamlgp_acq_state + scamlgp_posterior_diag_cached == the joint
+    conditioning path, in both original and standardized scales."""
+    rng, xs, ys, stack, cfg = fitted
+    Xt = rng.uniform(size=(6, 1))
+    yt = np.sin(5 * Xt[:, 0])
+    model = m.build_scamlgp(stack, cfg, Xt, yt)
+    tcfg = gp.target_gp_config()
+    model = m.fit_scamlgp(model, tcfg, jax.random.PRNGKey(11),
+                          num_restarts=2, num_steps=30)
+    Xq = jnp.asarray(rng.uniform(size=(9, 1)))
+    state = m.scamlgp_acq_state(model, cfg, tcfg)
+    for orig in (True, False):
+        mean_c, var_c = m.scamlgp_posterior_diag_cached(
+            model, cfg, tcfg, state, Xq, original_scale=orig)
+        mean_j, var_j = m.scamlgp_posterior_diag(
+            model, cfg, tcfg, Xq, original_scale=orig)
+        np.testing.assert_allclose(np.asarray(mean_c), np.asarray(mean_j),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(var_c), np.asarray(var_j),
+                                   rtol=1e-7, atol=1e-10)
+
+
 def test_training_objective_finite_and_differentiable(fitted):
     rng, xs, ys, stack, cfg = fitted
     Xt = rng.uniform(size=(4, 1))
