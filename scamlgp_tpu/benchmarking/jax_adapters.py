@@ -85,11 +85,17 @@ def device_optima(fn, task_params, d, key=None, n_samples: int = 8192,
         u = jnp.clip(u, 1e-6, 1 - 1e-6)
         return jnp.log(u) - jnp.log1p(-u)
 
+    # screening runs in fixed-size chunks via lax.map; pad n_samples up to a
+    # whole number of chunks (duplicated tail points are harmless for a min)
+    chunk = min(256, n_samples)
+    n_chunks = -(-n_samples // chunk)
+    n_padded = n_chunks * chunk
+
     @jax.jit
     def one_study(tp, k):
-        pts = jax.random.uniform(k, (n_samples, d), dtype)
+        pts = jax.random.uniform(k, (n_padded, d), dtype)
         vals = jax.lax.map(jax.vmap(lambda x: fn(x, tp)),
-                           pts.reshape(32, n_samples // 32, d)).reshape(-1)
+                           pts.reshape(n_chunks, chunk, d)).reshape(-1)
         starts = pts[jax.lax.top_k(-vals, topk)[1]]
 
         opt = optax.adam(lr)

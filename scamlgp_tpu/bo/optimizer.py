@@ -177,11 +177,12 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
         self.num_fit_steps = num_fit_steps
         self.model_kwargs = model_kwargs or {}
         self.af_optimizer_kwargs = dict(af_optimizer_kwargs or {})
-        if fit_method not in ("map", "hmc"):
+        if fit_method not in ("map", "hmc", "nuts"):
             raise ValueError(f"Unknown fit_method {fit_method!r}")
         self.fit_method = fit_method
         self.hmc_kwargs = {"num_chains": 2, "num_warmup": 100,
                            "num_samples": 64, "num_leapfrog": 8,
+                           "max_depth": 6,
                            "mixture_samples": 16, **(hmc_kwargs or {})}
         self._hyper_samples = None
         self._af_factory = acquisition_function_factory
@@ -200,10 +201,13 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
             meta_data, self.search_space, objective)
         self.task_ids = task_ids
         key_meta, self._key = jax.random.split(self._key)
-        self.source_gps, _ = model_lib.meta_fit_scamlgp(
-            xs, ys, key=key_meta, cfg=self.source_cfg,
-            num_restarts_log_likelihood=num_restarts_log_likelihood,
-            num_steps=num_fit_steps, dtype=self.dtype)
+        from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
+
+        with GLOBAL_TIMER("meta_fit"):
+            self.source_gps, _ = model_lib.meta_fit_scamlgp(
+                xs, ys, key=key_meta, cfg=self.source_cfg,
+                num_restarts_log_likelihood=num_restarts_log_likelihood,
+                num_steps=num_fit_steps, dtype=self.dtype)
 
         # --- target model on empty data (optimizer.py:135-141) ---------
         self.model = self._build_model(
@@ -245,27 +249,33 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
             config = self.search_space.sample()
             optional_info = {"model_based_pick": False}
         else:
+            from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
+
             af = self._acquisition()
             finite = [l for l in self.losses if np.isfinite(l)]
             best_f = jnp.asarray(min(finite) if finite else np.inf, self.dtype)
             self._key, k_af = jax.random.split(self._key)
-            if self.fit_method == "hmc" and self._hyper_samples is not None:
+            if (self.fit_method in ("hmc", "nuts")
+                    and self._hyper_samples is not None):
                 states = jax.vmap(
                     lambda p: model_lib.scamlgp_acq_state(
                         self.model, self.source_cfg, self.target_cfg,
                         params=p))(self._hyper_samples)
-                res = acqopt.optimize_acqf(
-                    _acq_value_hmc, (self.source_cfg, self.target_cfg, af),
-                    (self.model, states, best_f),
-                    self._n_features, k_af,
-                    dtype=self.dtype, **self.af_optimizer_kwargs)
+                with GLOBAL_TIMER("acquisition"):
+                    res = acqopt.optimize_acqf(
+                        _acq_value_hmc,
+                        (self.source_cfg, self.target_cfg, af),
+                        (self.model, states, best_f),
+                        self._n_features, k_af,
+                        dtype=self.dtype, **self.af_optimizer_kwargs)
             else:
                 state = model_lib.scamlgp_acq_state(
                     self.model, self.source_cfg, self.target_cfg)
-                res = acqopt.optimize_acqf(
-                    _acq_value, (self.source_cfg, self.target_cfg, af),
-                    (self.model, state, best_f), self._n_features, k_af,
-                    dtype=self.dtype, **self.af_optimizer_kwargs)
+                with GLOBAL_TIMER("acquisition"):
+                    res = acqopt.optimize_acqf(
+                        _acq_value, (self.source_cfg, self.target_cfg, af),
+                        (self.model, state, best_f), self._n_features, k_af,
+                        dtype=self.dtype, **self.af_optimizer_kwargs)
             vec = impute_nans_with_constant(np.asarray(res.x, np.float64))
             config = self.search_space.from_numerical(vec)
             optional_info = {"model_based_pick": True}
@@ -321,44 +331,70 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
         self.model = self._build_model(Xf, yf, params=warm)
 
         self._key, k_fit = jax.random.split(self._key)
-        if self.fit_method == "hmc":
+        if self.fit_method in ("hmc", "nuts"):
             from scamlgp_tpu.models import hmc as hmc_lib
+            from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
 
             hk = self.hmc_kwargs
-            samples, _ = hmc_lib.sample_scamlgp_hyperparameters(
-                self.model, self.target_cfg, k_fit,
-                num_chains=hk["num_chains"], num_warmup=hk["num_warmup"],
-                num_samples=hk["num_samples"],
-                num_leapfrog=hk["num_leapfrog"])
-            # flatten (chains, draws) and thin to a fixed mixture size so
-            # the acquisition jit cache stays stable
+            with GLOBAL_TIMER("refit"):
+                samples, _ = hmc_lib.sample_scamlgp_hyperparameters(
+                    self.model, self.target_cfg, k_fit,
+                    num_chains=hk["num_chains"], num_warmup=hk["num_warmup"],
+                    num_samples=hk["num_samples"],
+                    num_leapfrog=hk["num_leapfrog"],
+                    sampler=self.fit_method, max_depth=hk["max_depth"])
+            # interleave chains (sample-major) and thin to a fixed mixture
+            # size anchored at the tail, so small mixtures favor well-mixed
+            # late draws; fixed size keeps the acquisition jit cache stable
             k_mix = hk["mixture_samples"]
             flat = jax.tree_util.tree_map(
-                lambda l: l.reshape((-1,) + l.shape[2:]), samples)
+                lambda l: jnp.swapaxes(l, 0, 1).reshape(
+                    (-1,) + l.shape[2:]), samples)
             total = jax.tree_util.tree_leaves(flat)[0].shape[0]
-            idx = np.linspace(0, total - 1, k_mix).astype(int)
+            take = min(k_mix, total)
+            idx = np.asarray(sorted(
+                total - 1 - int(round(i * (total - 1) / max(take - 1, 1)))
+                for i in range(take)))
             self._hyper_samples = jax.tree_util.tree_map(
                 lambda l: l[idx], flat)
-            # point the model at the posterior-mean draw for predict()
-            mean_params = jax.tree_util.tree_map(
-                lambda l: jnp.mean(l, axis=0), self._hyper_samples)
-            self.model = self.model._replace(params=mean_params)
+            # carry the final draw as warm-start state; predict() uses the
+            # full posterior mixture (raw-space sample means are meaningless
+            # under the softplus/sigmoid bijections)
+            last_params = jax.tree_util.tree_map(
+                lambda l: l[-1], self._hyper_samples)
+            self.model = self.model._replace(params=last_params)
         else:
-            self.model = model_lib.fit_scamlgp(
-                self.model, self.target_cfg, k_fit,
-                num_restarts=self.num_restarts_log_likelihood,
-                num_steps=self.num_fit_steps)
+            from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
+
+            with GLOBAL_TIMER("refit"):
+                self.model = model_lib.fit_scamlgp(
+                    self.model, self.target_cfg, k_fit,
+                    num_restarts=self.num_restarts_log_likelihood,
+                    num_steps=self.num_fit_steps)
 
     # ------------------------------------------------------------------
     def predict(self, configurations: Iterable[Dict[str, Any]]):
         """Posterior (mean, std) of the loss at the given configurations —
-        convenience for analysis; original objective scale."""
+        convenience for analysis; original objective scale.  In hmc/nuts
+        mode this is the hyperparameter-posterior *mixture* predictive
+        (mean = E[mu], var = E[var + mu^2] - mean^2 over draws)."""
         X = np.stack([
             impute_nans_with_constant(self.search_space.to_numerical(c))
             for c in configurations])
-        mean, var = model_lib.scamlgp_posterior_diag(
-            self.model, self.source_cfg, self.target_cfg,
-            jnp.asarray(X, self.dtype))
+        Xq = jnp.asarray(X, self.dtype)
+        if self.fit_method in ("hmc", "nuts") and self._hyper_samples is not None:
+            def one(p):
+                mm = self.model._replace(params=p)
+                return model_lib.scamlgp_posterior_diag(
+                    mm, self.source_cfg, self.target_cfg, Xq)
+
+            means, variances = jax.lax.map(one, self._hyper_samples)
+            mean = jnp.mean(means, axis=0)
+            var = jnp.maximum(
+                jnp.mean(variances + means**2, axis=0) - mean**2, 0.0)
+        else:
+            mean, var = model_lib.scamlgp_posterior_diag(
+                self.model, self.source_cfg, self.target_cfg, Xq)
         mean = np.asarray(mean)
         if self.objective.greater_is_better:
             mean = -mean

@@ -29,21 +29,40 @@ class FitResult(NamedTuple):
     all_objectives: jnp.ndarray  # (num_restarts+1,) final objectives
 
 
+def _cast_like(tree, ref):
+    return jax.tree_util.tree_map(lambda l, r: l.astype(r.dtype), tree, ref)
+
+
 def _lbfgs_minimize(objective: Callable, params0, num_steps: int,
                     memory_size: int = 10):
     """Run ``num_steps`` L-BFGS iterations from ``params0``; returns final
-    (params, value).  Safe under vmap."""
+    (params, value).  Safe under vmap.
+
+    Dtype stability: under ``jax_enable_x64`` optax's zoom linesearch creates
+    weak-f64 stepsizes that promote f32 params mid-linesearch, which then hit
+    dtype-strict ops (``lax.triangular_solve``) against f32 data.  Every
+    boundary (objective input, value, grad, updates) is therefore cast back to
+    ``params0``'s dtypes so the whole fit runs in the caller's precision.
+    """
     opt = optax.lbfgs(
         memory_size=memory_size,
         linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=20),
     )
+    val_dtype = jnp.result_type(*jax.tree_util.tree_leaves(params0))
+
+    def objective_stable(p):
+        return objective(_cast_like(p, params0)).astype(val_dtype)
 
     def step(carry, _):
         params, state, best_params, best_val = carry
-        value, grad = optax.value_and_grad_from_state(objective)(params, state=state)
+        value, grad = optax.value_and_grad_from_state(objective_stable)(
+            params, state=state)
+        value = value.astype(val_dtype)
+        grad = _cast_like(grad, params0)
         updates, state = opt.update(
-            grad, state, params, value=value, grad=grad, value_fn=objective)
-        params = optax.apply_updates(params, updates)
+            grad, state, params, value=value, grad=grad,
+            value_fn=objective_stable)
+        params = _cast_like(optax.apply_updates(params, updates), params0)
         is_better = jnp.isfinite(value) & (value < best_val)
         best_params = jax.tree_util.tree_map(
             lambda b, p: jnp.where(is_better, p, b), best_params, params)
@@ -51,11 +70,10 @@ def _lbfgs_minimize(objective: Callable, params0, num_steps: int,
         return (params, state, best_params, best_val), value
 
     state0 = opt.init(params0)
-    init_val = jnp.asarray(jnp.inf, dtype=jnp.result_type(
-        *jax.tree_util.tree_leaves(params0)))
+    init_val = jnp.asarray(jnp.inf, dtype=val_dtype)
     (_, _, best_params, _), _ = jax.lax.scan(
         step, (params0, state0, params0, init_val), None, length=num_steps)
-    final_val = objective(best_params)
+    final_val = objective_stable(best_params)
     return best_params, final_val
 
 

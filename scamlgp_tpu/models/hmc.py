@@ -382,10 +382,15 @@ def sample_scamlgp_hyperparameters(model, target_cfg, key,
                                    num_chains: int = 4,
                                    num_warmup: int = 200,
                                    num_samples: int = 200,
-                                   num_leapfrog: int = 16):
+                                   num_leapfrog: int = 16,
+                                   sampler: str = "hmc",
+                                   max_depth: int = 8):
     """Posterior over the ScaML-GP target parameters (weights + residual
     kernel + noise), conditioned on the frozen source stack — the Bayesian
-    alternative to ``fit_scamlgp``'s MAP point (BASELINE.json config 3)."""
+    alternative to ``fit_scamlgp``'s MAP point (BASELINE.json config 3).
+
+    ``sampler``: "hmc" (fixed leapfrog count) or "nuts" (adaptive-trajectory
+    doubling, ``num_leapfrog`` ignored, ``max_depth`` caps the doubling)."""
     from scamlgp_tpu.models import scamlgp as m
 
     def log_prob(p):
@@ -399,6 +404,9 @@ def sample_scamlgp_hyperparameters(model, target_cfg, key,
     def one_chain(k):
         k_init, k_run = jax.random.split(k)
         init = m.sample_target_params(target_cfg, k_init, M, d, dtype)
+        if sampler == "nuts":
+            return nuts(log_prob, init, k_run, num_warmup=num_warmup,
+                        num_samples=num_samples, max_depth=max_depth)
         return hmc(log_prob, init, k_run, num_warmup=num_warmup,
                    num_samples=num_samples, num_leapfrog=num_leapfrog)
 

@@ -19,6 +19,7 @@ Fidelity notes vs the sequential driver (``bo/optimizer.py``):
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple
 
@@ -198,10 +199,15 @@ def _sample_target_hmc(stack, source_cfg, target_cfg, Xbuf, ybuf, mask,
     samples = jax.vmap(one_chain)(keys)     # leading (chains, samples)
     K = cfg.hmc_chains * cfg.hmc_samples
     take = min(cfg.mixture_samples, K)
-    idx = jnp.asarray(
-        [int(round(i * (K - 1) / max(take - 1, 1))) for i in range(take)])
+    # interleave chains (sample-major) and anchor the thinning at the tail,
+    # so small mixture_samples favor well-mixed late draws across all chains
+    # (mixture_samples=1 -> the final draw, not chain 0's first).
+    idx = jnp.asarray(sorted(
+        K - 1 - int(round(i * (K - 1) / max(take - 1, 1)))
+        for i in range(take)))
     flat = jax.tree_util.tree_map(
-        lambda l: jnp.reshape(l, (K,) + l.shape[2:])[idx], samples)
+        lambda l: jnp.reshape(jnp.swapaxes(l, 0, 1),
+                              (K,) + l.shape[2:])[idx], samples)
     return flat
 
 
@@ -326,9 +332,13 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                         for l in meta_data])
     flat = shard_studies(flat)  # flat task axis rides the study mesh axis
     key, k_meta = jax.random.split(key)
-    flat_stack = m.meta_fit_task_stack(flat, source_cfg, k_meta,
-                                       num_restarts=meta_fit_restarts,
-                                       num_steps=meta_fit_steps)
+    from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
+
+    with GLOBAL_TIMER("campaign_meta_fit"):
+        flat_stack = m.meta_fit_task_stack(flat, source_cfg, k_meta,
+                                           num_restarts=meta_fit_restarts,
+                                           num_steps=meta_fit_steps)
+        jax.block_until_ready(flat_stack)
     stacks = m.SourceStack(
         data=m.TaskData(*[jnp.reshape(l, (S, M) + l.shape[1:])
                           for l in flat_stack.data]),
@@ -373,8 +383,21 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             states = jax.vmap(make_state)(hyper_samples)
 
             def acq(x):
-                return jnp.mean(jax.vmap(
-                    lambda st: ucb_from_state(st, x))(states))
+                # moment-match the posterior mixture first, then UCB once —
+                # identical to the sequential driver's _acq_value_hmc
+                # (bo/optimizer.py): mean = E[mu],
+                # var = E[var + mu^2] - mean^2 keeps the between-sample
+                # variance of the means that E[UCB] would drop.
+                def one(st):
+                    mu, var = _study_posterior_diag_fast(
+                        stack, source_cfg, target_cfg, st, Xbuf, x[None])
+                    return mu[0], var[0]
+
+                mus, vars_ = jax.vmap(one)(states)
+                mean = jnp.mean(mus)
+                var = jnp.mean(vars_ + mus ** 2) - mean ** 2
+                return (-mean + jnp.sqrt(cfg.ucb_beta)
+                        * jnp.sqrt(jnp.maximum(var, 1e-30)))
         else:
             params = _fit_target(stack, source_cfg, target_cfg, warm, Xbuf,
                                  ybuf, mask, out_mean, out_std, k_fit, cfg)
@@ -489,14 +512,27 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
     if checkpoint_path is not None:
         from scamlgp_tpu.utils import checkpoint as ckpt
 
+        if _resume is None:
+            # initial checkpoint BEFORE the loop: the unseeded target tasks
+            # and meta-data are pinned on disk immediately, so pre-emption
+            # inside the first checkpoint_every window cannot leave stale
+            # side artifacts (e.g. per-study optima) referring to task draws
+            # a rerun would no longer see.
+            ckpt.save_pytree(
+                checkpoint_path,
+                (task_params, meta_data, Xbuf, ybuf, yclean, mask, params,
+                 study_keys, jnp.asarray(0, jnp.int32)))
+
     for i in range(start, E):
         study_keys = jax.vmap(
             lambda k: jax.random.split(k)[0])(study_keys)
         iter_keys = jax.vmap(
             lambda k: jax.random.split(k)[1])(study_keys)
-        Xbuf, ybuf, yclean, mask, params = iteration(
-            stacks, task_params, Xbuf, ybuf, yclean, mask, params,
-            iter_keys, i)
+        with GLOBAL_TIMER("campaign_iteration"):
+            Xbuf, ybuf, yclean, mask, params = iteration(
+                stacks, task_params, Xbuf, ybuf, yclean, mask, params,
+                iter_keys, i)
+            jax.block_until_ready(ybuf)
         stopping = stop_after is not None and i + 1 >= start + stop_after
         if (checkpoint_path is not None
                 and ((i + 1) % checkpoint_every == 0 or i + 1 == E
@@ -507,6 +543,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                  study_keys, jnp.asarray(i + 1, jnp.int32)))
         if stopping:
             break
+    GLOBAL_TIMER.log(logging.DEBUG)
     return CampaignResult(X=Xbuf[:S_real], y=ybuf[:S_real],
                           y_clean=yclean[:S_real])
 

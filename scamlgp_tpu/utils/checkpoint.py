@@ -37,13 +37,26 @@ def load_leaves(path) -> List[np.ndarray]:
 
 
 def load_pytree_like(path, template: Any) -> Any:
-    """Restore a pytree with the same structure as ``template``."""
+    """Restore a pytree with the same structure as ``template``.
+
+    Every loaded leaf must match the template leaf's shape and dtype — a
+    mismatch means the checkpoint was written with different settings
+    (studies/evals/dtype/mesh padding) and would otherwise fail deep inside
+    jit with cryptic errors or slice silently."""
     leaves = load_leaves(path)
     t_leaves, treedef = jax.tree_util.tree_flatten(template)
     if len(leaves) != len(t_leaves):
         raise ValueError(
             f"Checkpoint at {path} has {len(leaves)} leaves, template has "
             f"{len(t_leaves)}")
+    for i, (l, t) in enumerate(zip(leaves, t_leaves)):
+        t_arr = np.asarray(t)
+        if l.shape != t_arr.shape or l.dtype != t_arr.dtype:
+            raise ValueError(
+                f"Checkpoint at {path} was saved with different settings: "
+                f"leaf {i} has shape {l.shape} dtype {l.dtype}, expected "
+                f"shape {t_arr.shape} dtype {t_arr.dtype} (check "
+                f"--studies/--evals/dtype/mesh padding)")
     import jax.numpy as jnp
 
     return jax.tree_util.tree_unflatten(

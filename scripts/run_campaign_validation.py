@@ -87,7 +87,12 @@ def main():
     # matching optima are persisted next to it
     if args.checkpoint:
         optima_path = str(args.checkpoint) + "_optima.npy"
-        if os.path.exists(optima_path):
+        # load persisted optima ONLY when the campaign checkpoint exists —
+        # they must correspond to the task draws the checkpoint restores.
+        # A stale _optima.npy from a run pre-empted before its first
+        # checkpoint is overwritten with the fresh draws' optima.
+        if (os.path.exists(str(args.checkpoint) + ".npz")
+                and os.path.exists(optima_path)):
             optima = jnp.asarray(np.load(optima_path), dtype)
         else:
             os.makedirs(os.path.dirname(optima_path) or ".", exist_ok=True)

@@ -196,10 +196,11 @@ def test_campaign_hmc_mode_reduces_regret():
         simple_regret,
     )
 
-    # f64 here: f32 campaigns under jax_enable_x64 hit an optax-linesearch
-    # dtype promotion in the meta-fit (f32 is the TPU path, where x64 is off)
+    # f32 on purpose: pins the fit path's dtype stability under
+    # jax_enable_x64 (f32 is the TPU path; the linesearch must not promote)
     fn, tps, md, optima = campaign_inputs_from_benchmark(
-        Quadratic, [8] * 2, study_seeds=[0, 1], noise_std=0.05)
+        Quadratic, [8] * 2, study_seeds=[0, 1], noise_std=0.05,
+        dtype=jnp.float32)
     cfg = CampaignConfig(n_evaluations=4, noise_std=0.05, fit_method="hmc",
                          hmc_chains=2, hmc_warmup=10, hmc_samples=4,
                          hmc_leapfrog=4, mixture_samples=4,
