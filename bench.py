@@ -34,13 +34,15 @@ TIMED_ROUNDS = 30
 CPU_B = 256    # torch baseline batch (throughput is per-eval normalized)
 
 
-def tpu_throughput():
+def tpu_throughput(B=B, N=N, rounds=TIMED_ROUNDS):
     import jax
     import jax.numpy as jnp
 
     from scamlgp_tpu.models import gp
 
     dtype = jnp.float32
+    # "sweep" auto-routes: Pallas sweep kernel for N <= 128, direct XLA
+    # Cholesky MLL above (measured crossover, ops/pallas_sweep.py table)
     method = "sweep" if jax.default_backend() == "tpu" else "chol"
     cfg = gp.source_gp_config()
     rng = np.random.default_rng(0)
@@ -49,6 +51,13 @@ def tpu_throughput():
 
     params = jax.vmap(lambda k: gp.sample_params(cfg, k, D, dtype))(
         jax.random.split(jax.random.PRNGKey(0), B))
+    if N >= 512:
+        # prior-sampled noise near the 1e-8 floor makes an N>=512 f32 system
+        # singular for every factorization; pin the instance's noise near
+        # the constraint ceiling (conditioning is an instance property)
+        raw = cfg.noise_constraint.inverse(jnp.asarray(9e-3, dtype))
+        params = params._replace(
+            raw_noise=jnp.broadcast_to(raw, params.raw_noise.shape))
 
     def one(p, x, yy):
         return gp.map_objective(cfg, p, x, yy, method=method)
@@ -64,11 +73,11 @@ def tpu_throughput():
 
     t0 = time.perf_counter()
     c = carry
-    for _ in range(TIMED_ROUNDS):
+    for _ in range(rounds):
         v, c = step(params, X, y, c)
     _ = float(c)  # host fetch forces the whole dependency chain
     dt = time.perf_counter() - t0
-    return B * TIMED_ROUNDS / dt
+    return B * rounds / dt
 
 
 def torch_cpu_baseline():
@@ -114,6 +123,10 @@ def torch_cpu_baseline():
 def main():
     tpu = tpu_throughput()
     try:
+        large_n = tpu_throughput(B=256, N=512, rounds=10)
+    except Exception:
+        large_n = None
+    try:
         cpu = torch_cpu_baseline()
     except Exception:
         cpu = None
@@ -123,6 +136,9 @@ def main():
         "value": round(tpu, 2),
         "unit": f"evals/s (B={B}, N={N}, D={D}, f32, value+grad, chained)",
         "vs_baseline": round(vs, 3) if vs else None,
+        "large_n": ({"B": 256, "N": 512,
+                     "evals_per_s": round(large_n, 2)}
+                    if large_n else None),
     }))
 
 

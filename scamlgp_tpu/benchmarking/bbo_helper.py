@@ -6,7 +6,7 @@ signature declares it, and runs the sequential optimization loop."""
 from __future__ import annotations
 
 import inspect
-from typing import Any, Dict, List, Tuple, Type
+from typing import Any, Dict, List, Type
 
 from scamlgp_tpu.benchmarking.benchmarks.base import Base as BenchmarkBase
 from scamlgp_tpu.bo.core import Evaluation, Objective, run_optimization_loop

@@ -8,12 +8,11 @@ inside one compiled program.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np
 
-from scamlgp_tpu.benchmarking.benchmarks.base import Base
 from scamlgp_tpu.benchmarking.functions.branin import branin
 from scamlgp_tpu.benchmarking.functions.hartmann import (
     A3,

@@ -84,6 +84,73 @@ def run_study(optimizer_cls: Type, optimizer_kwargs: Dict[str, Any],
     }
 
 
+def _campaign_routable(optimizer_cls, optimizer_kwargs, benchmark_cls,
+                       benchmark_kwargs, noise_spec) -> bool:
+    """Whether an experiment can run through the vectorized on-device
+    campaign: synthetic jax-evaluable benchmark, default ScaMLGPBO (fit
+    method override allowed), homoscedastic 'loss' noise (or none)."""
+    from scamlgp_tpu.benchmarking.jax_adapters import JAX_FUNCTIONS
+    from scamlgp_tpu.benchmarking.noise.homoscedastic import (
+        HomoscedasticGaussianNoise,
+    )
+    from scamlgp_tpu.bo.optimizer import ScaMLGPBO
+
+    return (benchmark_cls.__name__ in JAX_FUNCTIONS
+            and optimizer_cls is ScaMLGPBO
+            and set(optimizer_kwargs) <= {"fit_method"}
+            and set(benchmark_kwargs) == {"n_data_per_task"}
+            and len(benchmark_kwargs["n_data_per_task"]) > 0
+            and (noise_spec is None
+                 or (type(noise_spec) is HomoscedasticGaussianNoise
+                     and set(noise_spec.noise_std) >= {"loss"})))
+
+
+def _submit_via_campaign(optimizer_kwargs, benchmark_cls, benchmark_kwargs,
+                         noise_spec, n_evaluations: int, n_studies: int,
+                         persist) -> None:
+    """Run a whole synthetic experiment as ONE vectorized on-device campaign
+    (``parallel/campaign.py``) and persist per-seed JSONs in the standard
+    results layout, so ``visualize`` works unchanged.
+
+    This is the fast path the TPU backend routes ``submit`` through: a
+    128-study grid completes in minutes on one chip where the sequential
+    per-study driver (the reference's process-pool unit of work,
+    ``local_runner.py:174-181``) would take hours.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+        campaign_to_study_results,
+    )
+    from scamlgp_tpu.parallel.campaign import CampaignConfig, run_campaign
+
+    noise_std = (float(noise_spec.noise_std["loss"])
+                 if noise_spec is not None else 0.0)
+    seeds = list(range(n_studies))
+    n_data = list(benchmark_kwargs["n_data_per_task"])
+    fn, tps, md, optima = campaign_inputs_from_benchmark(
+        benchmark_cls, n_data, seeds, noise_std=noise_std,
+        dtype=jnp.float32, optimum_method="device")
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from scamlgp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(study=len(jax.devices()), task=1)
+
+    cfg = CampaignConfig(n_evaluations=n_evaluations, noise_std=noise_std,
+                         fit_method=optimizer_kwargs.get("fit_method", "map"))
+    result = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
+                          mesh=mesh)
+    studies = campaign_to_study_results(
+        benchmark_cls, n_data, seeds, result, optima,
+        noisy=noise_spec is not None)
+    for study in studies:
+        persist(study)
+
+
 def _environment_info() -> Dict[str, str]:
     env = {}
     for dist in importlib.metadata.distributions():
@@ -97,7 +164,8 @@ def _environment_info() -> Dict[str, str]:
 def main(config: Experiment, experiment_module: str, experiment_key: str,
          max_workers: int, hpobench_path: Optional[str] = None,
          fcnet_path: Optional[str] = None,
-         output_root: Optional[Path] = None) -> Path:
+         output_root: Optional[Path] = None,
+         force_host_runner: bool = False) -> Path:
     """Run all study seeds of one experiment and persist results
     (reference ``local_runner.py:87-205``)."""
     logging.getLogger("scamlgp_tpu").setLevel(logging.WARNING)
@@ -159,6 +227,29 @@ def main(config: Experiment, experiment_module: str, experiment_key: str,
             json.dump(results, fh)
 
     import jax
+
+    optimizer_cls = (config.optimizer if not isinstance(config.optimizer,
+                                                        dict)
+                     else config.optimizer["cls"])
+    optimizer_kwargs = ({} if not isinstance(config.optimizer, dict)
+                        else config.optimizer["kwargs"])
+    noise_spec = (config.benchmark.get("noise_spec", None)
+                  if isinstance(config.benchmark, dict) else None)
+    benchmark_cls = (config.benchmark["cls"]
+                     if isinstance(config.benchmark, dict)
+                     else config.benchmark)
+
+    # TPU fast path: run synthetic experiments as one vectorized campaign —
+    # the sequential per-study driver would serialize on the single chip.
+    if (not force_host_runner and jax.default_backend() != "cpu"
+            and _campaign_routable(optimizer_cls, optimizer_kwargs,
+                                   benchmark_cls, benchmark_kwargs,
+                                   noise_spec)):
+        _submit_via_campaign(optimizer_kwargs, benchmark_cls,
+                             benchmark_kwargs, noise_spec,
+                             config.n_evaluations, config.n_studies,
+                             _persist)
+        return output_dir
 
     use_pool = max_workers > 1 and jax.default_backend() == "cpu"
     if use_pool:

@@ -153,11 +153,13 @@ def load_results_from_disk(configurations: Dict[str, Experiment],
 def submit_local_job(config: Experiment, experiment_key: str,
                      experiment_module: str, max_workers: int,
                      hpobench_path: Optional[str] = None,
-                     fcnet_path: Optional[str] = None):
+                     fcnet_path: Optional[str] = None,
+                     force_host_runner: bool = False):
     return submit_local_job_main(
         config=config, experiment_module=experiment_module,
         experiment_key=experiment_key, max_workers=max_workers,
-        hpobench_path=hpobench_path, fcnet_path=fcnet_path)
+        hpobench_path=hpobench_path, fcnet_path=fcnet_path,
+        force_host_runner=force_host_runner)
 
 
 def with_experiment_cli_and_data_loading(func):
@@ -187,6 +189,11 @@ def with_experiment_cli_and_data_loading(func):
             "--parallel-studies", type=int, default=None,
             help="Override per-config parallel study count (default: 1, or "
             "min(64, cpus) when compute == PARALLEL on the CPU backend).")
+        submit_parser.add_argument(
+            "--host-runner", action="store_true",
+            help="Force the sequential per-study host runner even when the "
+            "experiment could run as one vectorized on-device campaign "
+            "(the default fast path on a TPU backend).")
 
         visualize_parser = subparsers.add_parser("visualize",
                                                  help="Visualize results")
@@ -220,7 +227,8 @@ def with_experiment_cli_and_data_loading(func):
                     config=config, experiment_key=name,
                     experiment_module=func_module_string,
                     hpobench_path=args.hpobench, fcnet_path=args.fcnet,
-                    max_workers=max_workers)
+                    max_workers=max_workers,
+                    force_host_runner=args.host_runner)
         elif args.mode == "hash":
             for name, config in selected.items():
                 print(hash_experiment_config(config), name)

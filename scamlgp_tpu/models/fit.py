@@ -16,7 +16,7 @@ restart simply loses the argmin, mirroring the reference's try/except skip
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

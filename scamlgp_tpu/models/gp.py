@@ -23,7 +23,7 @@ Hyperparameter priors/constraints replicate the reference exactly:
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -152,16 +152,24 @@ def mll(cfg: GPConfig, p: GPParams, X, y, mask=None,
     if prior_cov is not None:
         K = K + prior_cov
     if method == "sweep":
-        from scamlgp_tpu.ops.pallas_sweep import mll_via_sweep
+        from scamlgp_tpu.ops.pallas_sweep import (
+            mll_via_sweep,
+            sweep_profitable,
+        )
 
-        yy = y if prior_mean is None else y - prior_mean
-        if mask is not None:
-            yy = yy * mask
-            n_active = jnp.sum(mask, axis=-1)
-        else:
-            n_active = jnp.asarray(K.shape[-1], K.dtype)
-        A = linalg.mask_system(K, c.noise, mask)
-        return mll_via_sweep(A[None], yy[None], n_active)[0]
+        # large N: the direct Cholesky MLL beats the sweep (whose contract
+        # materializes the full inverse) — route there instead of through
+        # the kernel's own inverse-computing fallback (measured 6.0k vs
+        # 2.3k evals/s at N=512 on v5e, scripts/bench_sweep_n.py).
+        if sweep_profitable(K.shape[-1], jnp.dtype(K.dtype).itemsize):
+            yy = y if prior_mean is None else y - prior_mean
+            if mask is not None:
+                yy = yy * mask
+                n_active = jnp.sum(mask, axis=-1)
+            else:
+                n_active = jnp.asarray(K.shape[-1], K.dtype)
+            A = linalg.mask_system(K, c.noise, mask)
+            return mll_via_sweep(A[None], yy[None], n_active)[0]
     return linalg.mll(K, c.noise, y, mask=mask, mean=prior_mean)
 
 

@@ -16,7 +16,6 @@ the same posterior geometry the reference's restarts explore.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Tuple
 
 import jax

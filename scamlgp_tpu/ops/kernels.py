@@ -17,7 +17,6 @@ where HBM traffic on the intermediate distance matrix matters.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable
 
 import jax.numpy as jnp

@@ -33,8 +33,49 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: matrices processed per grid cell; G * N * N * 4B must fit VMEM comfortably
+#: max matrices per grid cell; the actual G adapts to N (see ``_choose_g``)
 DEFAULT_G = 8
+
+#: VMEM bytes budgeted for the per-cell A blocks.  A grid cell holds ~5
+#: matrix-sized buffers live at once (double-buffered input + output blocks
+#: for the pipeline, plus the fori-loop carry), and ~16 MB/core must also fit
+#: Mosaic scratch — 12 MB of A blocks keeps headroom.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+#: above this N, the direct XLA Cholesky MLL wins and callers should not use
+#: the sweep at all.  Measured on v5e (value+grad MLL evals/s,
+#: scripts/bench_sweep_n.py):
+#:   N= 128, B=4096: elementary 50.7k | blocked 25.4k | XLA 37.5k -> sweep 1.35x
+#:   N= 256, B=1024: elementary 12.2k | blocked  8.6k | XLA 14.5k -> XLA wins
+#:   N= 512, B= 256: elementary  1.7k | blocked  2.3k | XLA  6.0k -> XLA wins
+#:   N=1024, B=  64: (VMEM ceiling: G=0)              | XLA  2.2k
+#: The VMEM-resident rank-1 sweep is a small-N optimization: once N*N blocks
+#: stop amortizing the O(N) sequential pivot loop, XLA's pipeline takes over.
+#: NOTE the in-kernel fallback below computes the full inverse (needed by the
+#: sweep contract); for a plain MLL that is ~2.5x more work than a Cholesky
+#: solve, which is why ``sweep_profitable`` exists for method selection.
+_SWEEP_MAX_N = 128
+
+
+def sweep_profitable(N: int, itemsize: int = 4) -> bool:
+    """Whether the Pallas sweep path beats XLA's direct Cholesky MLL at this
+    system size (measurement table above).  Callers choosing between
+    ``mll_via_sweep`` and a Cholesky MLL should route on this."""
+    return N <= _SWEEP_MAX_N and _choose_g(1, N, itemsize) >= 1
+
+#: N at which the blocked (MXU rank-BLOCK) variant would replace the
+#: elementary (VPU rank-1) kernel.  Measured slower than BOTH the elementary
+#: sweep and XLA Cholesky at every shape tried on v5e (table above), so it
+#: is effectively disabled; kept selectable for bench_sweep_n.py and future
+#: hardware where the MXU bulk update wins.
+_BLOCKED_MIN_N = 10**9
+
+
+def _choose_g(B: int, N: int, itemsize: int) -> int:
+    """Matrices per grid cell such that ~5 blocks fit the VMEM budget;
+    0 means even G=1 does not fit -> fall back to XLA Cholesky."""
+    per = N * N * itemsize
+    return min(DEFAULT_G, B, _VMEM_BUDGET // (5 * per))
 
 
 def _sweep_kernel(a_ref, inv_ref, logdet_ref):
@@ -194,26 +235,33 @@ def sweep_inverse(A):
     return _sweep_inverse_impl(A)
 
 
-def _sweep_inverse_impl(A):
-    if jax.default_backend() != "tpu":
-        L = jax.lax.linalg.cholesky(A)
-        eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
-        Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True,
-                                               lower=True)
-        Ainv = jnp.einsum("bki,bkj->bij", Linv, Linv,
-                          precision=jax.lax.Precision.HIGHEST)
-        logdet = 2.0 * jnp.sum(
-            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-        return Ainv, logdet
+def _chol_inverse_impl(A):
+    """XLA Cholesky-based (A^-1, log|A|): the off-TPU path and the large-N
+    fallback once a (G=1, N, N) block no longer fits the VMEM budget."""
+    L = jax.lax.linalg.cholesky(A)
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True,
+                                           lower=True)
+    Ainv = jnp.einsum("bki,bkj->bij", Linv, Linv,
+                      precision=jax.lax.Precision.HIGHEST)
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+    return Ainv, logdet
 
+
+def _sweep_inverse_impl(A):
     B, N, _ = A.shape
-    g = min(DEFAULT_G, B)
+    g = _choose_g(B, N, jnp.dtype(A.dtype).itemsize)
+    if jax.default_backend() != "tpu" or g < 1 or N > _SWEEP_MAX_N:
+        return _chol_inverse_impl(A)
+
     Ap = _pad_batch(A, g)
     Bp = Ap.shape[0]
-    # Elementary sweep wins on v5e: the blocked variant's K=32 MXU matmuls
-    # measured slower (160 ms vs 86 ms at B=4096, N=128, value+grad); kept
-    # for future tuning.
-    kernel = _sweep_kernel
+    # The elementary (VPU rank-1) sweep is the production kernel; the
+    # blocked (MXU rank-BLOCK) variant measured slower at every shape tried
+    # on v5e (see the threshold table above) and stays opt-in.
+    use_blocked = N >= _BLOCKED_MIN_N and N % BLOCK == 0
+    kernel = _sweep_kernel_blocked if use_blocked else _sweep_kernel
     inv, logdet = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((Bp, N, N), A.dtype),

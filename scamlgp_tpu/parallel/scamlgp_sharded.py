@@ -11,19 +11,17 @@ weight parameters.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from scamlgp_tpu.models import fit as fit_lib
 from scamlgp_tpu.models import gp
 from scamlgp_tpu.models import scamlgp as m
-from scamlgp_tpu.ops import linalg
 from scamlgp_tpu.utils.standardize import _MIN_STD
 
 

@@ -15,7 +15,7 @@ with no Jacobian correction term.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from jax import nn

@@ -20,7 +20,6 @@ import pytest
 from scamlgp_tpu.benchmarking.benchmarks.fcnet_fixed_fidelity_tabular import (
     FCNetFixedFidelityTabularBenchmark,
     _load_look_up_table,
-    _make_search_space,
 )
 from scamlgp_tpu.bo.core import EvaluationSpecification, Objective
 

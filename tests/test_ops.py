@@ -5,7 +5,6 @@ calls for adding posterior-moment/MLL parity tests vs an oracle in the TPU
 build.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -10,7 +10,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 import scamlgp_tpu.ops.pallas_sweep as ps
 from scamlgp_tpu.models import gp
-from scamlgp_tpu.ops import kernels, linalg
 
 
 def _spd_batch(rng, b, n, jitter=0.5):

@@ -13,7 +13,6 @@ exactly instead of by Monte Carlo).
 
 import math
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
