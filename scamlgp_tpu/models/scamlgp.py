@@ -114,10 +114,15 @@ def validate_meta_data(xs, ys) -> None:
 @partial(jax.jit, static_argnames=("cfg", "num_restarts", "num_steps"))
 def meta_fit_task_stack(data: TaskData, cfg: gp.GPConfig, key,
                         num_restarts: int = 5,
-                        num_steps: int = 60) -> SourceStack:
+                        num_steps: int = 60,
+                        task_keys=None) -> SourceStack:
     """Fit all source GPs at once: ``vmap`` over tasks of a ``vmap`` over
     restarts (reference hot loops 1x2, ``model.py:176-188`` +
-    ``utils.py:139-212``)."""
+    ``utils.py:139-212``).
+
+    ``task_keys`` (one PRNG key per task) may be passed instead of ``key``,
+    e.g. by ``shard_map`` callers that pre-split globally so each shard's
+    keys match the unsharded program's."""
     m, n, d = data.X.shape
     dtype = data.X.dtype
     warm = gp.init_params(cfg, d, dtype)
@@ -129,7 +134,8 @@ def meta_fit_task_stack(data: TaskData, cfg: gp.GPConfig, key,
         obj = lambda p: gp.map_objective(cfg, p, x, y, mask)
         return fit_lib.fit_map_restarts(obj, stack0, num_steps=num_steps).params
 
-    task_keys = jax.random.split(key, m)
+    if task_keys is None:
+        task_keys = jax.random.split(key, m)
     params = jax.vmap(fit_one)(data.X, data.y, data.mask, task_keys)
     return finalize_source_stack(data, cfg, params)
 

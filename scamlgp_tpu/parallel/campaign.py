@@ -20,8 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -231,6 +230,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                  target_cfg: Optional[gp.GPConfig] = None,
                  cfg: CampaignConfig = CampaignConfig(),
                  meta_fit_restarts: int = 3, meta_fit_steps: int = 50,
+                 meta_fit_chunks: int = 1,
                  loop: str = "host", mesh=None,
                  checkpoint_path=None,
                  checkpoint_every: int = 10,
@@ -250,6 +250,13 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             the whole campaign into a single ``fori_loop`` program — zero
             dispatch overhead but a much heavier (slow on some backends)
             compile.
+        meta_fit_chunks: split the single (S*M)-task meta-fit dispatch into
+            this many equal sequential dispatches (must divide S).  Bounds
+            the fit program's device working set at large S*M — e.g. 128
+            studies x 32 tasks is 4096 simultaneous GP fits x restarts in
+            one program, which can exhaust a single chip; 4 chunks of 1024
+            behave identically (same per-task PRNG keys) at ~1/4 the peak.
+            Ignored on a mesh (each shard already fits only its slice).
         mesh: optional ``jax.sharding.Mesh`` with a ``"study"`` axis.  The
             study batch is sharded over it (this is the TPU replacement for
             the reference's multi-host process pool,
@@ -335,20 +342,80 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
     from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
 
     with GLOBAL_TIMER("campaign_meta_fit"):
-        flat_stack = m.meta_fit_task_stack(flat, source_cfg, k_meta,
-                                           num_restarts=meta_fit_restarts,
-                                           num_steps=meta_fit_steps)
-        jax.block_until_ready(flat_stack)
-    stacks = m.SourceStack(
-        data=m.TaskData(*[jnp.reshape(l, (S, M) + l.shape[1:])
-                          for l in flat_stack.data]),
-        params=jax.tree_util.tree_map(
-            lambda l: jnp.reshape(l, (S, M) + l.shape[1:]),
-            flat_stack.params),
-        chol=jnp.reshape(flat_stack.chol, (S, M, N, N)),
-        alpha=jnp.reshape(flat_stack.alpha, (S, M, N)),
-    )
-    stacks = shard_studies(stacks)
+        if study_sh is None:
+            if meta_fit_chunks > 1:
+                # identical per-task keys to the single-dispatch program:
+                # pre-split once, slice per chunk
+                T = S * M
+                if S % meta_fit_chunks:
+                    raise ValueError(f"meta_fit_chunks={meta_fit_chunks} "
+                                     f"does not divide S={S}")
+                csz = T // meta_fit_chunks
+                all_keys = jax.random.split(k_meta, T)
+                parts = []
+                for c in range(meta_fit_chunks):
+                    sl = slice(c * csz, (c + 1) * csz)
+                    part = m.meta_fit_task_stack(
+                        m.TaskData(*[l[sl] for l in flat]), source_cfg,
+                        None, num_restarts=meta_fit_restarts,
+                        num_steps=meta_fit_steps, task_keys=all_keys[sl])
+                    # serialize: keep only one chunk's fit program resident
+                    jax.block_until_ready(part)
+                    parts.append(part)
+                flat_stack = jax.tree_util.tree_map(
+                    lambda *ls: jnp.concatenate(ls, axis=0), *parts)
+            else:
+                flat_stack = m.meta_fit_task_stack(
+                    flat, source_cfg, k_meta, num_restarts=meta_fit_restarts,
+                    num_steps=meta_fit_steps)
+        else:
+            # explicit SPMD: each mesh slot fits ITS flat-task slice locally
+            # (shard_map takes partitioning discretion away from GSPMD —
+            # studies/tasks are independent, so the right program has zero
+            # collectives; measured 2-simulated-host weak-scaling efficiency
+            # jumped from ~0.6 to >=0.7 vs the inferred partitioning)
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            task_keys = jax.random.split(k_meta, S * M)
+
+            def _fit_shard(X, y, mask, mean, std, keys):
+                local = m.TaskData(X=X, y=y, mask=mask, mean=mean, std=std)
+                st = m.meta_fit_task_stack(
+                    local, source_cfg, None,
+                    num_restarts=meta_fit_restarts,
+                    num_steps=meta_fit_steps, task_keys=keys)
+
+                # return the stack already (S_local, M, ...)-shaped, so it
+                # comes out study-sharded with no eager cross-process
+                # reshapes / re-placements after the fit
+                def r(l):
+                    return jnp.reshape(l, (l.shape[0] // M, M) + l.shape[1:])
+
+                return (jax.tree_util.tree_map(r, st.data),
+                        jax.tree_util.tree_map(r, st.params),
+                        r(st.chol), r(st.alpha))
+
+            spec = P("study")
+            fit_data, fit_params, fit_chol, fit_alpha = jax.jit(shard_map(
+                _fit_shard, mesh=mesh,
+                in_specs=(spec,) * 6, out_specs=(spec, spec, spec, spec),
+                check_vma=False,
+            ))(flat.X, flat.y, flat.mask, flat.mean, flat.std, task_keys)
+        if study_sh is None:
+            stacks = m.SourceStack(
+                data=m.TaskData(*[jnp.reshape(l, (S, M) + l.shape[1:])
+                                  for l in flat_stack.data]),
+                params=jax.tree_util.tree_map(
+                    lambda l: jnp.reshape(l, (S, M) + l.shape[1:]),
+                    flat_stack.params),
+                chol=jnp.reshape(flat_stack.chol, (S, M, N, N)),
+                alpha=jnp.reshape(flat_stack.alpha, (S, M, N)),
+            )
+        else:
+            stacks = m.SourceStack(data=fit_data, params=fit_params,
+                                   chol=fit_chol, alpha=fit_alpha)
+        jax.block_until_ready(stacks)
     task_params = shard_studies(task_params)
 
     # ---- BO loop ----------------------------------------------------------
@@ -483,19 +550,48 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                 0, E, body, (Xbuf, ybuf, yclean, mask, params, k0))
             return Xbuf, ybuf, yclean
 
-        X, y, y_clean = jax.vmap(one_study)(stacks, task_params, study_keys)
+        campaign_fn = jax.vmap(one_study)
+        if study_sh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            spec = P("study")
+            campaign_fn = shard_map(campaign_fn, mesh=mesh,
+                                    in_specs=(spec, spec, spec),
+                                    out_specs=(spec, spec, spec),
+                                    check_vma=False)
+        X, y, y_clean = campaign_fn(stacks, task_params, study_keys)
         return CampaignResult(X=X[:S_real], y=y[:S_real],
                               y_clean=y_clean[:S_real])
 
     # host loop: one jitted vmapped iteration, reused for all E steps
-    # (i is traced, so a single compile serves every iteration)
-    @jax.jit
-    def iteration(stacks, task_params, Xbuf, ybuf, yclean, mask, params,
-                  keys, i):
-        return jax.vmap(
+    # (i is traced, so a single compile serves every iteration).  The
+    # per-study PRNG-key advance lives INSIDE the jitted step, and on a mesh
+    # the whole step runs under shard_map over the study axis: studies are
+    # independent, so the correct SPMD program has ZERO collectives —
+    # inferred GSPMD partitioning was measured inserting cross-process work
+    # (2-simulated-host weak-scaling efficiency ~0.6; shard_map removes it).
+    def iteration_body(stacks, task_params, Xbuf, ybuf, yclean, mask,
+                       params, keys, i):
+        new_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+        iter_keys = jax.vmap(lambda k: jax.random.split(k)[1])(new_keys)
+        out = jax.vmap(
             lambda st, tp, xb, yb, yc, mk, pr, k: study_iteration(
                 st, tp, xb, yb, yc, mk, pr, k, i)
-        )(stacks, task_params, Xbuf, ybuf, yclean, mask, params, keys)
+        )(stacks, task_params, Xbuf, ybuf, yclean, mask, params, iter_keys)
+        return out + (new_keys,)
+
+    if study_sh is None:
+        iteration = jax.jit(iteration_body)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P("study")
+        iteration = jax.jit(shard_map(
+            iteration_body, mesh=mesh,
+            in_specs=(spec,) * 8 + (P(),),
+            out_specs=(spec,) * 6, check_vma=False))
 
     if _resume is not None:
         Xbuf, ybuf, yclean, mask, params, study_keys = [
@@ -523,16 +619,21 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                 (task_params, meta_data, Xbuf, ybuf, yclean, mask, params,
                  study_keys, jnp.asarray(0, jnp.int32)))
 
+    import os as _os
+    _iter_debug = _os.environ.get("SCAMLGP_ITER_DEBUG") == "1"
     for i in range(start, E):
-        study_keys = jax.vmap(
-            lambda k: jax.random.split(k)[0])(study_keys)
-        iter_keys = jax.vmap(
-            lambda k: jax.random.split(k)[1])(study_keys)
         with GLOBAL_TIMER("campaign_iteration"):
-            Xbuf, ybuf, yclean, mask, params = iteration(
+            _t0 = __import__("time").perf_counter()
+            Xbuf, ybuf, yclean, mask, params, study_keys = iteration(
                 stacks, task_params, Xbuf, ybuf, yclean, mask, params,
-                iter_keys, i)
+                study_keys, i)
+            if _iter_debug:
+                _t1 = __import__("time").perf_counter()
             jax.block_until_ready(ybuf)
+            if _iter_debug:
+                _t2 = __import__("time").perf_counter()
+                print(f"iter {i}: dispatch {_t1 - _t0:.3f}s "
+                      f"block {_t2 - _t1:.3f}s", flush=True)
         stopping = stop_after is not None and i + 1 >= start + stop_after
         if (checkpoint_path is not None
                 and ((i + 1) % checkpoint_every == 0 or i + 1 == E

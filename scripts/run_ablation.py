@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--cpu", type=int, default=0)
     ap.add_argument("--optimum-method", default="shgo",
                     choices=["shgo", "device"])
+    ap.add_argument("--meta-fit-chunks", type=int, default=1,
+                    help="sequential meta-fit dispatches (bounds device "
+                         "memory at large studies*tasks; must divide "
+                         "--studies)")
     ap.add_argument("--out", default=None, help="JSON output path")
     args = ap.parse_args()
 
@@ -76,7 +80,8 @@ def main():
                               args.seed_offset + args.studies),
             noise_std=args.sigma, dtype=dtype,
             optimum_method=args.optimum_method)
-        res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg)
+        res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
+                           meta_fit_chunks=args.meta_fit_chunks)
         reg = np.asarray(simple_regret(res.y_clean, optima))
         # average cumulative regret per study, then mean +/- SEM over studies
         cum = np.mean(reg, axis=1)

@@ -38,6 +38,10 @@ def main():
                     choices=["shgo", "device"],
                     help="'device': on-device multi-start minima instead of "
                          "host-side SHGO (much faster setup for 6-D)")
+    ap.add_argument("--meta-fit-chunks", type=int, default=1,
+                    help="split the meta-fit into this many sequential "
+                         "dispatches (bounds device memory at large "
+                         "studies*tasks; must divide --studies)")
     ap.add_argument("--shard-studies", action="store_true",
                     help="shard the study axis over all devices")
     ap.add_argument("--cpu", type=int, default=0, metavar="N",
@@ -110,6 +114,7 @@ def main():
     t0 = time.time()
     res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
                        loop=args.loop, mesh=mesh,
+                       meta_fit_chunks=args.meta_fit_chunks,
                        checkpoint_path=args.checkpoint,
                        stop_after=args.stop_after)
     reg = np.asarray(simple_regret(res.y_clean, optima))

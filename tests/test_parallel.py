@@ -295,3 +295,34 @@ def test_pallas_gram_interpret_matches_xla(rng):
     Kx = K.rbf(x, z, ls, 1.3)
     assert Kp.shape == (300, 200)
     np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx), atol=2e-5)
+
+
+def test_campaign_meta_fit_chunked_matches_single_dispatch():
+    """meta_fit_chunks splits the (S*M)-task fit into sequential dispatches
+    with identical per-task PRNG keys -> bitwise-equal campaign up to
+    compilation noise (the large-S*M memory-bounding path, e.g. T32 at 128
+    studies = 4096 simultaneous GP fits)."""
+    from scamlgp_tpu.benchmarking.benchmarks import Quadratic
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+    )
+    from scamlgp_tpu.parallel.campaign import CampaignConfig, run_campaign
+
+    fn, tps, md, optima = campaign_inputs_from_benchmark(
+        Quadratic, [8] * 2, study_seeds=list(range(4)), noise_std=0.05)
+    cfg = CampaignConfig(n_evaluations=3, noise_std=0.05, fit_steps=10,
+                         fit_restarts=1, acq_raw_samples=32, acq_topk=2,
+                         acq_steps=5)
+    kw = dict(cfg=cfg, meta_fit_restarts=1, meta_fit_steps=8)
+    res_one = run_campaign(fn, tps, md, jax.random.PRNGKey(0), **kw)
+    res_chunked = run_campaign(fn, tps, md, jax.random.PRNGKey(0),
+                               meta_fit_chunks=4, **kw)
+    np.testing.assert_allclose(np.asarray(res_chunked.X),
+                               np.asarray(res_one.X), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_chunked.y_clean),
+                               np.asarray(res_one.y_clean),
+                               rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        run_campaign(fn, tps, md, jax.random.PRNGKey(0), meta_fit_chunks=3,
+                     **kw)
