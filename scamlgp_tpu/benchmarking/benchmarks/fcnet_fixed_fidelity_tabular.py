@@ -1,5 +1,5 @@
 """FCNet fixed-fidelity tabular benchmark (reference
-``/root/reference/scamlgp/benchmarking/benchmarks/fcnet_fixed_fidelity_tabular.py:126-253``).
+``scamlgp/benchmarking/benchmarks/fcnet_fixed_fidelity_tabular.py:126-253``).
 
 HDF5 lookup-table benchmark over 4 regression datasets; lazy LUT loading
 keyed by a canonical JSON config string; hard-coded search space and known

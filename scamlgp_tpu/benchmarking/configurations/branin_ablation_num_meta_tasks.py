@@ -1,5 +1,6 @@
 """Branin num-meta-tasks ablation (reference
-``benchmarking/configurations/branin_ablation_num_meta_tasks.py:17-18,50-64``): M in {2,4,8,16,32,64}, N_m = 32; 80 evals x 128 studies, sigma = 1.0."""
+``benchmarking/configurations/branin_ablation_num_meta_tasks.py:17-18,50-64``):
+M in {2,4,8,16,32,64}, N_m = 32; 80 evals x 128 studies, sigma = 1.0."""
 
 from pathlib import Path
 from typing import Any, Dict

@@ -1,5 +1,6 @@
 """Branin points-per-task ablation (reference
-``benchmarking/configurations/branin_ablation_num_points_per_task.py:17-18,50-64``): M = 8, N_m in {8,16,32,64,128,256}; 40 evals x 128 studies, sigma = 1.0."""
+``benchmarking/configurations/branin_ablation_num_points_per_task.py:17-18,50-64``):
+M = 8, N_m in {8,16,32,64,128,256}; 40 evals x 128 studies, sigma = 1.0."""
 
 from pathlib import Path
 from typing import Any, Dict

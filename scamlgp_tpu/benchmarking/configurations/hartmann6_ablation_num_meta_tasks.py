@@ -1,5 +1,6 @@
 """Hartmann6D num-meta-tasks ablation (reference
-``benchmarking/configurations/hartmann6_ablation_num_meta_tasks.py:17-18,50-64``): M in {2,4,8,16,32,64}, N_m = 128; 80 evals x 128 studies, sigma = 0.1."""
+``benchmarking/configurations/hartmann6_ablation_num_meta_tasks.py:17-18,50-64``):
+M in {2,4,8,16,32,64}, N_m = 128; 80 evals x 128 studies, sigma = 0.1."""
 
 from pathlib import Path
 from typing import Any, Dict

@@ -1,5 +1,6 @@
 """Hartmann6D points-per-task ablation (reference
-``benchmarking/configurations/hartmann6_ablation_num_points_per_task.py:17-18,50-64``): M = 8, N_m in {16,32,64,128,256,512}; 80 evals x 128 studies, sigma = 0.1."""
+``benchmarking/configurations/hartmann6_ablation_num_points_per_task.py:17-18,50-64``):
+M = 8, N_m in {16,32,64,128,256,512}; 80 evals x 128 studies, sigma = 0.1."""
 
 from pathlib import Path
 from typing import Any, Dict

@@ -1,5 +1,6 @@
 """LR tabular HPO experiment grid (reference
-``benchmarking/configurations/lr_tabular.py``): HPOBench lr, 28 tasks x 64 pts; 60 evals x 256 studies."""
+``benchmarking/configurations/lr_tabular.py``):
+HPOBench lr, 28 tasks x 64 pts; 60 evals x 256 studies."""
 
 from pathlib import Path
 from typing import Any, Dict

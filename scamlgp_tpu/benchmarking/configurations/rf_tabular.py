@@ -1,5 +1,6 @@
 """RF tabular HPO experiment grid (reference
-``benchmarking/configurations/rf_tabular.py``): HPOBench rf, 27 tasks x 128 pts; 60 evals x 256 studies."""
+``benchmarking/configurations/rf_tabular.py``):
+HPOBench rf, 27 tasks x 128 pts; 60 evals x 256 studies."""
 
 from pathlib import Path
 from typing import Any, Dict

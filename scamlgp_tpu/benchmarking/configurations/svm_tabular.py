@@ -1,5 +1,6 @@
 """SVM tabular HPO experiment grid (reference
-``benchmarking/configurations/svm_tabular.py``): HPOBench svm, 28 tasks x 64 pts; 60 evals x 256 studies."""
+``benchmarking/configurations/svm_tabular.py``):
+HPOBench svm, 28 tasks x 64 pts; 60 evals x 256 studies."""
 
 from pathlib import Path
 from typing import Any, Dict

@@ -1,5 +1,6 @@
 """XGB tabular HPO experiment grid (reference
-``benchmarking/configurations/xgb_tabular.py``): HPOBench xgb, 19 tasks x 128 pts; 60 evals x 256 studies."""
+``benchmarking/configurations/xgb_tabular.py``):
+HPOBench xgb, 19 tasks x 128 pts; 60 evals x 256 studies."""
 
 from pathlib import Path
 from typing import Any, Dict

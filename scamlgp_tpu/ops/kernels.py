@@ -34,7 +34,9 @@ _PRECISION = lax.Precision.HIGHEST
 
 def _scaled(x, lengthscale):
     """x: (..., n, d); lengthscale: (..., d) or scalar — broadcast divide."""
-    return x / jnp.expand_dims(lengthscale, -2) if jnp.ndim(lengthscale) >= 1 else x / lengthscale
+    if jnp.ndim(lengthscale) >= 1:
+        return x / jnp.expand_dims(lengthscale, -2)
+    return x / lengthscale
 
 
 def sq_dist(x, z, lengthscale):

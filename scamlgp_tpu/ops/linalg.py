@@ -87,7 +87,8 @@ def mll(K, noise, y, mask=None, mean: Optional[jnp.ndarray] = None):
     m = state.mask
     quad = jnp.sum(state.y * state.alpha, axis=-1)
     # padded diag entries of L are 1 -> contribute log(1)=0
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(state.chol, axis1=-2, axis2=-1)), axis=-1)
+    diag = jnp.diagonal(state.chol, axis1=-2, axis2=-1)
+    logdet = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
     n_active = jnp.sum(m, axis=-1)
     return -0.5 * (quad + logdet + n_active * _LOG_2PI)
 

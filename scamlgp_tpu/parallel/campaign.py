@@ -10,10 +10,13 @@ advance in lock-step on a single chip.
 Scope: synthetic jax-evaluable benchmarks (Branin / Hartmann / Quadratic).
 Tabular benchmarks keep the host loop (their lookups are host-side data).
 
-Fidelity notes vs the sequential driver (``bo/optimizer.py``):
-- target refits use warm-started Adam plus prior-sampled restarts in a fixed
-  number of steps (the sequential driver uses L-BFGS);
-- the acquisition ascent uses the same sigmoid-reparametrized Adam scheme.
+Fidelity vs the sequential driver (``bo/optimizer.py``): target refits use
+the SAME vmapped L-BFGS MAP fit (warm start + prior-sampled restarts, best
+final objective wins — ``models/fit.py::fit_map_restarts``, the native
+equivalent of ``/root/reference/scamlgp/utils.py:139-212``), and the
+acquisition ascent uses the same sigmoid-reparametrized Adam scheme.
+Parity is pinned by ``tests/test_parallel.py::test_campaign_refit_matches_
+sequential_driver``.
 """
 
 from __future__ import annotations
@@ -35,21 +38,21 @@ class CampaignConfig:
     n_evaluations: int = 40
     noise_std: float = 1.0
     ucb_beta: float = 9.0                  # utils.py:215-224
-    fit_method: str = "map"                # "map" | "hmc"
-    fit_steps: int = 80
-    fit_restarts: int = 2                  # prior-sampled, on top of warm
-    fit_lr: float = 0.08
+    fit_method: str = "map"                # "map" | "hmc" | "nuts"
+    fit_steps: int = 60                    # L-BFGS iterations per restart
+    fit_restarts: int = 5                  # prior-sampled, on top of warm
     acq_raw_samples: int = 256
     acq_topk: int = 4
     acq_steps: int = 30
     acq_lr: float = 0.05
     pruning_threshold: float = 1e-3        # model.py:226
-    # fit_method == "hmc": full hyperparameter posterior per refit; the
-    # acquisition marginalizes over `mixture_samples` posterior draws
+    # fit_method in {"hmc", "nuts"}: full hyperparameter posterior per
+    # refit; the acquisition marginalizes over `mixture_samples` draws
     hmc_chains: int = 2
     hmc_warmup: int = 64
     hmc_samples: int = 16
-    hmc_leapfrog: int = 12
+    hmc_leapfrog: int = 12                 # hmc only
+    hmc_max_depth: int = 6                 # nuts only
     mixture_samples: int = 8
 
 
@@ -111,8 +114,13 @@ def _study_posterior_diag_fast(stack, source_cfg, target_cfg, acq_state,
 
 def _fit_target(stack, source_cfg, target_cfg, params_warm, Xbuf, ybuf, mask,
                 out_mean, out_std, key, cfg: CampaignConfig):
-    """Warm + prior-restart Adam MAP fit for ONE study (training-mode cached
-    moments, like reference hot loop 4)."""
+    """Warm + prior-restart L-BFGS MAP fit for ONE study (training-mode
+    cached moments, like reference hot loop 4).  The SAME vmapped fitter as
+    the sequential driver's refit (``models/scamlgp.py::fit_scamlgp`` →
+    ``models/fit.py::fit_map_restarts``), so the campaign matches the
+    reference contract ``/root/reference/scamlgp/utils.py:139-212``."""
+    from scamlgp_tpu.models import fit as fit_lib
+
     means, covs = m.source_predict(stack, source_cfg, Xbuf, full_cov=True)
     y_std = (ybuf - out_mean) / out_std * mask
 
@@ -125,49 +133,26 @@ def _fit_target(stack, source_cfg, target_cfg, params_warm, Xbuf, ybuf, mask,
                                 prior_mean=mean_p, prior_cov=cov_p,
                                 extra_log_prior=extra)
 
-    import optax
-
-    opt = optax.adam(cfg.fit_lr)
-
-    def run_one(p0):
-        def step(carry, _):
-            p, s, best_p, best_v = carry
-            v, g = jax.value_and_grad(objective)(p)
-            updates, s = opt.update(g, s, p)
-            p_new = optax.apply_updates(p, updates)
-            better = jnp.isfinite(v) & (v < best_v)
-            best_p = jax.tree_util.tree_map(
-                lambda b, n: jnp.where(better, n, b), best_p, p)
-            best_v = jnp.where(better, v, best_v)
-            return (p_new, s, best_p, best_v), None
-
-        init_v = jnp.asarray(jnp.inf, Xbuf.dtype)
-        (_, _, best_p, best_v), _ = jax.lax.scan(
-            step, (p0, opt.init(p0), p0, init_v), None, length=cfg.fit_steps)
-        return best_p, best_v
-
     M = stack.num_tasks
     d = Xbuf.shape[-1]
     keys = jax.random.split(key, cfg.fit_restarts)
     sampled = jax.vmap(lambda k: m.sample_target_params(
         target_cfg, k, M, d, Xbuf.dtype))(keys)
-    stack0 = jax.tree_util.tree_map(
-        lambda w_, s_: jnp.concatenate([w_[None], s_], axis=0),
-        params_warm, sampled)
-    ps, vs = jax.vmap(run_one)(stack0)
-    best = jnp.argmin(jnp.where(jnp.isfinite(vs), vs, jnp.inf))
-    return jax.tree_util.tree_map(lambda l: l[best], ps)
+    stack0 = fit_lib.stack_restarts(params_warm, sampled)
+    return fit_lib.fit_map_restarts(objective, stack0,
+                                    num_steps=cfg.fit_steps).params
 
 
 def _sample_target_hmc(stack, source_cfg, target_cfg, Xbuf, ybuf, mask,
                        out_mean, out_std, key, cfg: CampaignConfig):
     """Posterior draws of the target parameters for ONE study via vmapped
-    HMC chains over the same training-mode objective as ``_fit_target``
-    (the campaign equivalent of ``ScaMLGPBO(fit_method='hmc')``).
+    HMC or NUTS chains (``cfg.fit_method``) over the same training-mode
+    objective as ``_fit_target`` (the campaign equivalent of
+    ``ScaMLGPBO(fit_method='hmc'|'nuts')``).
 
     Returns a TargetParams pytree with leading ``mixture_samples`` axis
     (chains folded in, evenly thinned)."""
-    from scamlgp_tpu.models.hmc import hmc
+    from scamlgp_tpu.models.hmc import hmc, nuts
 
     means, covs = m.source_predict(stack, source_cfg, Xbuf, full_cov=True)
     y_std = (ybuf - out_mean) / out_std * mask
@@ -189,10 +174,16 @@ def _sample_target_hmc(stack, source_cfg, target_cfg, Xbuf, ybuf, mask,
     def one_chain(k):
         k_init, k_run = jax.random.split(k)
         init = m.sample_target_params(target_cfg, k_init, M, d, dtype)
-        samples, _ = hmc(lambda p: -objective(p), init, k_run,
-                         num_warmup=cfg.hmc_warmup,
-                         num_samples=cfg.hmc_samples,
-                         num_leapfrog=cfg.hmc_leapfrog)
+        if cfg.fit_method == "nuts":
+            samples, _ = nuts(lambda p: -objective(p), init, k_run,
+                              num_warmup=cfg.hmc_warmup,
+                              num_samples=cfg.hmc_samples,
+                              max_depth=cfg.hmc_max_depth)
+        else:
+            samples, _ = hmc(lambda p: -objective(p), init, k_run,
+                             num_warmup=cfg.hmc_warmup,
+                             num_samples=cfg.hmc_samples,
+                             num_leapfrog=cfg.hmc_leapfrog)
         return samples
 
     samples = jax.vmap(one_chain)(keys)     # leading (chains, samples)
@@ -274,6 +265,8 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             iterations (pre-emption drill / incremental execution; resume by
             calling again with the same ``checkpoint_path``).
     """
+    if cfg.fit_method not in ("map", "hmc", "nuts"):
+        raise ValueError(f"Unknown fit_method {cfg.fit_method!r}")
     source_cfg = source_cfg or gp.source_gp_config()
     target_cfg = target_cfg or gp.target_gp_config()
 
@@ -372,8 +365,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             # explicit SPMD: each mesh slot fits ITS flat-task slice locally
             # (shard_map takes partitioning discretion away from GSPMD —
             # studies/tasks are independent, so the right program has zero
-            # collectives; measured 2-simulated-host weak-scaling efficiency
-            # jumped from ~0.6 to >=0.7 vs the inferred partitioning)
+            # collectives; measured numbers live in docs/MULTIHOST_BENCH.json)
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
@@ -441,7 +433,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             return (-mu[0] + jnp.sqrt(cfg.ucb_beta)
                     * jnp.sqrt(jnp.maximum(var[0], 1e-30)))
 
-        if cfg.fit_method == "hmc":
+        if cfg.fit_method in ("hmc", "nuts"):
             hyper_samples = _sample_target_hmc(
                 stack, source_cfg, target_cfg, Xbuf, ybuf, mask,
                 out_mean, out_std, k_fit, cfg)
@@ -570,7 +562,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
     # the whole step runs under shard_map over the study axis: studies are
     # independent, so the correct SPMD program has ZERO collectives —
     # inferred GSPMD partitioning was measured inserting cross-process work
-    # (2-simulated-host weak-scaling efficiency ~0.6; shard_map removes it).
+    # (shard_map removes it; measured efficiency: docs/MULTIHOST_BENCH.json).
     def iteration_body(stacks, task_params, Xbuf, ybuf, yclean, mask,
                        params, keys, i):
         new_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)

@@ -13,6 +13,7 @@ single-process run on identical inputs.
 
 import json
 import os
+import socket
 import subprocess
 import sys
 
@@ -21,6 +22,13 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "scripts", "distributed_worker.py")
+
+
+def _free_port() -> int:
+    """Pick a free TCP port (hardcoded ports collide on shared CI boxes)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 # tiny campaign: 4 studies x 3 evals, 2 meta-tasks x 6 points, Branin
 ARGS = ["--studies", "4", "--evals", "3", "--tasks", "2", "--points", "6",
@@ -52,7 +60,9 @@ def _make_inputs(path):
     save_campaign_inputs(path, tps, md, optima)
 
 
-def _launch(num_processes, devices_per_process, inputs, outs, port):
+def _launch(num_processes, devices_per_process, inputs, outs, port=None,
+            task_axis=1):
+    port = port or _free_port()
     procs = []
     for pid in range(num_processes):
         cmd = [sys.executable, WORKER,
@@ -60,6 +70,7 @@ def _launch(num_processes, devices_per_process, inputs, outs, port):
                "--num-processes", str(num_processes),
                "--coordinator", f"localhost:{port}",
                "--devices-per-process", str(devices_per_process),
+               "--task-axis", str(task_axis),
                "--inputs", inputs, "--out", outs[pid]] + ARGS
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT,
@@ -96,8 +107,7 @@ def test_two_process_campaign_matches_single_process(tmp_path):
     _make_inputs(inputs)
 
     logs = _launch(2, 1, inputs,
-                   [str(tmp_path / "p0.npz"), str(tmp_path / "p1.npz")],
-                   port=12410)
+                   [str(tmp_path / "p0.npz"), str(tmp_path / "p1.npz")])
     # each process owns exactly its mesh rows
     for log in logs:
         rec = json.loads([l for l in log.splitlines()
@@ -105,7 +115,35 @@ def test_two_process_campaign_matches_single_process(tmp_path):
         assert rec["global_devices"] == 2
         assert rec["local_studies"] == 2
 
-    _launch(1, 2, inputs, [str(tmp_path / "single.npz")], port=12411)
+    _launch(1, 2, inputs, [str(tmp_path / "single.npz")])
+
+    X2, y2, yc2 = _merged([tmp_path / "p0.npz", tmp_path / "p1.npz"])
+    X1, y1, yc1 = _merged([tmp_path / "single.npz"])
+    np.testing.assert_allclose(X2, X1, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(yc2, yc1, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(y2, y1, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_task_sharded_matches_single_process(tmp_path):
+    """DCN x ICI combined layout (SURVEY section 2.5; VERDICT r2 missing
+    item 5): 2 processes x 2 devices/process with ``--task-axis 2`` — the
+    study axis spans processes (DCN) while the task axis is sharded over
+    each process's local devices (ICI) — must reproduce a single-process
+    4-device run with the same 2-D layout, study by study."""
+    inputs = str(tmp_path / "inputs.npz")
+    _make_inputs(inputs)
+
+    logs = _launch(2, 2, inputs,
+                   [str(tmp_path / "p0.npz"), str(tmp_path / "p1.npz")],
+                   task_axis=2)
+    for log in logs:
+        rec = json.loads([l for l in log.splitlines()
+                          if l.startswith("{")][-1])
+        assert rec["global_devices"] == 4
+        assert rec["local_studies"] == 2
+
+    _launch(1, 4, inputs, [str(tmp_path / "single.npz")], task_axis=2)
 
     X2, y2, yc2 = _merged([tmp_path / "p0.npz", tmp_path / "p1.npz"])
     X1, y1, yc1 = _merged([tmp_path / "single.npz"])

@@ -105,7 +105,8 @@ def test_source_predict_matches_manual_gp(fitted):
     from scamlgp_tpu.ops import kernels
     K = np.asarray(kernels.rbf(jnp.asarray(X), jnp.asarray(X),
                                c.lengthscale, c.outputscale))
-    A = K + float(c.noise) * np.eye(n) + 1e-10 * (1 + np.abs(K.diagonal()).mean()) * np.eye(n)
+    jitter = 1e-10 * (1 + np.abs(K.diagonal()).mean())
+    A = K + (float(c.noise) + jitter) * np.eye(n)
     Kxq = np.asarray(kernels.rbf(jnp.asarray(X), Xq, c.lengthscale, c.outputscale))
     Kqq = np.asarray(kernels.rbf(Xq, Xq, c.lengthscale, c.outputscale))
     Ainv = np.linalg.inv(A)
