@@ -143,25 +143,43 @@ def mll(cfg: GPConfig, p: GPParams, X, y, mask=None,
     ``prior_mean`` / ``prior_cov`` support the ScaML-GP target model whose prior
     is the weighted source posterior (``model.py:359-363``).
 
-    ``method="sweep"`` routes the factorization through the Pallas batched
-    sweep-inverse kernel (f32 TPU hot path; analytic VJP — no triangular
-    solves in the backward pass).
+    Methods:
+
+    - ``"chol"``: direct XLA Cholesky MLL with AD (the parity path).
+    - ``"sweep"``: Pallas fast path with an analytic matrix-level VJP (no
+      solves in the backward pass); the forward inverse auto-routes between
+      the elementary sweep (N <= 128), the MXU-tiled blocked Cholesky
+      (mid N), and XLA — see ``ops/inverse_mll.py``.  Falls back to
+      ``"chol"`` when no kernel is profitable at this N.
+    - ``"chol64"``: float64-island — inputs are promoted to f64, the Gram
+      is assembled AND factorized in f64, and the result cast back to the
+      input dtype.  Accuracy path for ill-conditioned large-N f32 systems
+      (SURVEY section 7.3): an f32-assembled Gram carries ~eps_f32-scale
+      asymmetry that can defeat even an exact factorization, so the island
+      boundary sits at the inputs, not at the factorization.  Requires
+      ``jax_enable_x64``.
     """
+    if method == "chol64":
+        if not jax.config.jax_enable_x64:
+            raise ValueError("method='chol64' needs jax_enable_x64 "
+                             "(x64-island mode)")
+        f64 = lambda t: None if t is None else t.astype(jnp.float64)
+        c64 = constrain(cfg, jax.tree_util.tree_map(f64, p))
+        K64 = gram(cfg, c64, f64(X))
+        if prior_cov is not None:
+            K64 = K64 + f64(prior_cov)
+        out = linalg.mll(K64, c64.noise, f64(y), mask=f64(mask),
+                         mean=f64(prior_mean))
+        return out.astype(X.dtype)
     c = constrain(cfg, p)
     K = gram(cfg, c, X)
     if prior_cov is not None:
         K = K + prior_cov
     if method == "sweep":
-        from scamlgp_tpu.ops.pallas_sweep import (
-            mll_via_sweep,
-            sweep_profitable,
-        )
+        from scamlgp_tpu.ops import inverse_mll
 
-        # large N: the direct Cholesky MLL beats the sweep (whose contract
-        # materializes the full inverse) — route there instead of through
-        # the kernel's own inverse-computing fallback (measured 6.0k vs
-        # 2.3k evals/s at N=512 on v5e, scripts/bench_sweep_n.py).
-        if sweep_profitable(K.shape[-1], jnp.dtype(K.dtype).itemsize):
+        if inverse_mll.inverse_mll_profitable(K.shape[-1],
+                                              jnp.dtype(K.dtype).itemsize):
             yy = y if prior_mean is None else y - prior_mean
             if mask is not None:
                 yy = yy * mask
@@ -169,7 +187,8 @@ def mll(cfg: GPConfig, p: GPParams, X, y, mask=None,
             else:
                 n_active = jnp.asarray(K.shape[-1], K.dtype)
             A = linalg.mask_system(K, c.noise, mask)
-            return mll_via_sweep(A[None], yy[None], n_active)[0]
+            return inverse_mll.mll_via_inverse(A[None], yy[None],
+                                               n_active)[0]
     return linalg.mll(K, c.noise, y, mask=mask, mean=prior_mean)
 
 
