@@ -120,20 +120,24 @@ def _raise_on_missing_or_invalid_experiments_in_module(module: str):
             f"Experiment instances but contains: {bad}")
 
 
-def _results_path(func_module: str, name: str, config_hash: str) -> Path:
-    return (REPO_ROOT / Path(*func_module.split(".")[:-1]) / "results"
+def _results_path(func_module: str, name: str, config_hash: str,
+                  output_root: Optional[Path] = None) -> Path:
+    root = Path(output_root) if output_root is not None else REPO_ROOT
+    return (root / Path(*func_module.split(".")[:-1]) / "results"
             / f"{name}_{config_hash}")
 
 
 def load_results_from_disk(configurations: Dict[str, Experiment],
-                           func_module_string: str) -> dict:
+                           func_module_string: str,
+                           output_root: Optional[Path] = None) -> dict:
     """Merge all per-seed result JSONs on disk per experiment
-    (reference ``utils.py:175-201``)."""
+    (reference ``utils.py:175-201``).  ``output_root`` mirrors
+    ``local_runner.main``'s parameter (tests write there)."""
     all_results = {}
     for name, config in configurations.items():
         config_hash = hash_experiment_config(config)
         local_results_path = _results_path(func_module_string, name,
-                                           config_hash)
+                                           config_hash, output_root)
         info_file_path = local_results_path / "info.json"
         if not info_file_path.exists():
             print(f"Unable to load results from {local_results_path}")

@@ -57,12 +57,14 @@ def _used_names(tree):
     return used
 
 
-def check_unused_imports(path, tree):
+def check_unused_imports(path, tree, noqa_lines):
     if path.name == "__init__.py":
         return []
     used = _used_names(tree)
     problems = []
     for node in ast.walk(tree):
+        if getattr(node, "lineno", None) in noqa_lines:
+            continue
         if isinstance(node, ast.Import):
             for alias in node.names:
                 name = alias.asname or alias.name.split(".")[0]
@@ -87,7 +89,11 @@ def check_file(path):
     text = path.read_text(encoding="utf-8")
     if text and not text.endswith("\n"):
         problems.append((len(text.splitlines()), "no newline at EOF"))
+    noqa_lines = {i for i, line in enumerate(text.splitlines(), 1)
+                  if "# noqa" in line}
     for i, line in enumerate(text.splitlines(), 1):
+        if i in noqa_lines:
+            continue
         if "\t" in line:
             problems.append((i, "tab character"))
         if line != line.rstrip():
@@ -99,7 +105,7 @@ def check_file(path):
     except SyntaxError as exc:
         problems.append((exc.lineno or 0, f"syntax error: {exc.msg}"))
         return problems
-    problems.extend(check_unused_imports(path, tree))
+    problems.extend(check_unused_imports(path, tree, noqa_lines))
     return problems
 
 
