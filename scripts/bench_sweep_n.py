@@ -1,9 +1,18 @@
-"""Sweep-kernel N-scaling bench: elementary vs blocked vs XLA Cholesky.
+"""Kernel N-scaling bench: sweep variants vs blocked Cholesky vs XLA.
 
 Measures value+grad MLL throughput per shape on the current backend to set
-``pallas_sweep._BLOCKED_MIN_N`` / VMEM-fallback thresholds and produce the
-large-N BENCH numbers (VERDICT round 1, missing item 3 — the reference grid
-needs N_m up to 512: ``hartmann6_ablation_num_points_per_task.py:17-18``).
+the per-N routing thresholds (``pallas_sweep.sweep_profitable`` /
+``pallas_blocked_chol.blocked_profitable``) and produce the large-N BENCH
+numbers — the reference grid needs N_m up to 512
+(``hartmann6_ablation_num_points_per_task.py:17-18``); BASELINE config 5
+asks for N=2048.
+
+Variants:
+- ``xla``          direct Cholesky MLL + AD (method='chol')
+- ``elementary``   VMEM sweep kernel forced at every N
+- ``blocked``      legacy in-sweep blocked variant (historically slower)
+- ``blockedchol``  MXU-tiled blocked Cholesky inverse + analytic MLL VJP
+- ``auto``         production routing (method='sweep')
 
     python scripts/bench_sweep_n.py          # all shapes, all variants
 """
@@ -23,14 +32,16 @@ SHAPES = [  # (B, N) — B scaled down so each round stays ~O(100ms)
     (1024, 256),
     (256, 512),
     (64, 1024),
+    (16, 2048),
 ]
 
 
-def bench_variant(B, N, variant, rounds=10):
+def bench_variant(B, N, variant, rounds=10, pin_noise=False):
     import jax
     import jax.numpy as jnp
 
     from scamlgp_tpu.models import gp
+    from scamlgp_tpu.ops import pallas_blocked_chol as pbc
     from scamlgp_tpu.ops import pallas_sweep as ps
 
     D = 6
@@ -41,23 +52,30 @@ def bench_variant(B, N, variant, rounds=10):
     y = jnp.asarray(rng.normal(size=(B, N)), dtype)
     params = jax.vmap(lambda k: gp.sample_params(cfg, k, D, dtype))(
         jax.random.split(jax.random.PRNGKey(0), B))
-    # prior-sampled noise can land near the 1e-8 constraint floor, where an
-    # N>=512 f32 RBF system is numerically singular for EVERY factorization
-    # (XLA Cholesky included).  Pin the bench instance's noise at the
-    # constraint ceiling (1e-2, model.py:31 semantics) — conditioning is an
-    # instance property, and throughput is what is being measured.
-    if N >= 512:
+    # Optional noise pinning (--pin-noise).  Measured round 3: prior-drawn
+    # noise leaves every instance FINITE under the 1e-6-relative jitter
+    # policy even at N=512 f32 (the round-2 "singular" claim predated the
+    # relative jitter); accuracy for the ill-conditioned tail is the
+    # chol64 island's job (gp.mll(method='chol64')), not the bench's.
+    if pin_noise:
         raw = cfg.noise_constraint.inverse(jnp.asarray(9e-3, dtype))
         params = params._replace(
             raw_noise=jnp.broadcast_to(raw, params.raw_noise.shape))
 
     # select the kernel variant by overriding the module thresholds
-    saved = (ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N, ps._VMEM_BUDGET)
+    saved = (ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N, ps._VMEM_BUDGET,
+             pbc._MIN_N, pbc._MAX_N)
     if variant == "elementary":
         ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N = 10**9, 10**9
+        pbc._MIN_N = 10**9
         method = "sweep"
     elif variant == "blocked":
         ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N = 0, 10**9
+        pbc._MIN_N = 10**9
+        method = "sweep"
+    elif variant == "blockedchol":
+        ps._SWEEP_MAX_N = 0
+        pbc._MIN_N, pbc._MAX_N = 1, 10**9
         method = "sweep"
     elif variant == "xla":
         method = "chol"
@@ -89,15 +107,20 @@ def bench_variant(B, N, variant, rounds=10):
     except Exception as e:  # VMEM overflow etc.
         return None, type(e).__name__ + ": " + str(e)[:200]
     finally:
-        ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N, ps._VMEM_BUDGET = saved
+        (ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N, ps._VMEM_BUDGET,
+         pbc._MIN_N, pbc._MAX_N) = saved
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", nargs="*",
-                    default=["elementary", "blocked", "xla", "auto"])
+                    default=["elementary", "blockedchol", "xla", "auto"])
     ap.add_argument("--shapes", nargs="*", type=int, default=None,
                     help="restrict to these N values")
+    ap.add_argument("--pin-noise", action="store_true",
+                    help="pin observation noise at the constraint ceiling "
+                         "(legacy round-2 comparison mode)")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     import jax
@@ -110,13 +133,17 @@ def main():
         for variant in args.variants:
             if variant == "blocked" and N % 32 != 0:
                 continue
-            evals_s, err = bench_variant(B, N, variant)
+            evals_s, err = bench_variant(B, N, variant,
+                                         pin_noise=args.pin_noise)
             row[variant] = (round(evals_s, 1) if evals_s is not None
                             else f"FAILED: {err}")
             print(f"N={N:5d} B={B:5d} {variant:10s} -> {row[variant]}",
                   flush=True)
         out["results"].append(row)
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(out, fh, indent=2)
 
 
 if __name__ == "__main__":
