@@ -12,6 +12,9 @@ Variants:
 - ``elementary``   VMEM sweep kernel forced at every N
 - ``blocked``      legacy in-sweep blocked variant (historically slower)
 - ``blockedchol``  MXU-tiled blocked Cholesky inverse + analytic MLL VJP
+- ``xlainv``       XLA Cholesky-inverse forward + analytic MLL VJP (the
+                   large-N candidate: trades forward TRSM(I) for a
+                   solve-free backward)
 - ``auto``         production routing (method='sweep')
 
     python scripts/bench_sweep_n.py          # all shapes, all variants
@@ -41,6 +44,7 @@ def bench_variant(B, N, variant, rounds=10, pin_noise=False):
     import jax.numpy as jnp
 
     from scamlgp_tpu.models import gp
+    from scamlgp_tpu.ops import inverse_mll
     from scamlgp_tpu.ops import pallas_blocked_chol as pbc
     from scamlgp_tpu.ops import pallas_sweep as ps
 
@@ -65,6 +69,7 @@ def bench_variant(B, N, variant, rounds=10, pin_noise=False):
     # select the kernel variant by overriding the module thresholds
     saved = (ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N, ps._VMEM_BUDGET,
              pbc._MIN_N, pbc._MAX_N)
+    saved_profitable = inverse_mll.inverse_mll_profitable
     if variant == "elementary":
         ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N = 10**9, 10**9
         pbc._MIN_N = 10**9
@@ -76,6 +81,13 @@ def bench_variant(B, N, variant, rounds=10, pin_noise=False):
     elif variant == "blockedchol":
         ps._SWEEP_MAX_N = 0
         pbc._MIN_N, pbc._MAX_N = 1, 10**9
+        method = "sweep"
+    elif variant == "xlainv":
+        # inverse_mll with both Pallas kernels disabled, profitability
+        # forced -> the XLA chol-inverse fallback carries the forward
+        ps._SWEEP_MAX_N = 0
+        pbc._MIN_N = 10**9
+        inverse_mll.inverse_mll_profitable = lambda *a, **k: True
         method = "sweep"
     elif variant == "xla":
         method = "chol"
@@ -109,6 +121,7 @@ def bench_variant(B, N, variant, rounds=10, pin_noise=False):
     finally:
         (ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N, ps._VMEM_BUDGET,
          pbc._MIN_N, pbc._MAX_N) = saved
+        inverse_mll.inverse_mll_profitable = saved_profitable
 
 
 def main():

@@ -33,7 +33,8 @@ def main():
     ap.add_argument("--f64", action="store_true",
                     help="float64 (CPU parity mode); default f32")
     ap.add_argument("--loop", default="host", choices=["host", "device"])
-    ap.add_argument("--fit-method", default="map", choices=["map", "hmc"])
+    ap.add_argument("--fit-method", default="map",
+                choices=["map", "hmc", "nuts"])
     ap.add_argument("--optimum-method", default="shgo",
                     choices=["shgo", "device"],
                     help="'device': on-device multi-start minima instead of "
