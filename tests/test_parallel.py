@@ -361,3 +361,19 @@ def test_campaign_refit_matches_sequential_driver(meta):
                     jax.tree_util.tree_leaves(fitted.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_campaign_rejects_unknown_fit_method():
+    """ADVICE r2: an unknown fit_method must raise, not silently run MAP."""
+    from scamlgp_tpu.benchmarking.benchmarks import Quadratic
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+    )
+    from scamlgp_tpu.parallel.campaign import CampaignConfig, run_campaign
+
+    fn, tps, md, _ = campaign_inputs_from_benchmark(
+        Quadratic, [6] * 2, study_seeds=[0], noise_std=0.05)
+    with pytest.raises(ValueError, match="fit_method"):
+        run_campaign(fn, tps, md, jax.random.PRNGKey(0),
+                     cfg=CampaignConfig(n_evaluations=2,
+                                        fit_method="laplace"))
