@@ -55,20 +55,35 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _choose_g(B: int, N: int, itemsize: int) -> int:
+def _block_values_bytes(N: int, itemsize: int) -> int:
+    """Peak VMEM for the live block values (A-lower + L + W each
+    nb(nb+1)/2, Linv nb, ~1 temp)."""
     nb = -(-N // BS)
-    npad = nb * BS
-    # in + out double-buffered pipeline blocks, plus the live block values
-    # (A-lower + L + W each nb(nb+1)/2, Linv nb, ~1 temp)
     blocks = 3 * nb * (nb + 1) // 2 + 2 * nb
-    per_g = (4 * npad * npad + blocks * BS * BS) * itemsize
+    return blocks * BS * BS * itemsize
+
+
+def _choose_g(B: int, N: int, itemsize: int) -> int:
+    npad = -(-N // BS) * BS
+    # in + out double-buffered pipeline blocks, plus the live block values
+    per_g = 4 * npad * npad * itemsize + _block_values_bytes(N, itemsize)
     return min(DEFAULT_G, B, _VMEM_BUDGET // per_g)
 
 
+def _hbm_staged_fits(N: int, itemsize: int) -> bool:
+    """Whether the single-scratch HBM-resident variant fits VMEM: one
+    (N, N) scratch + the live block values."""
+    npad = -(-N // BS) * BS
+    need = npad * npad * itemsize + _block_values_bytes(N, itemsize)
+    return need <= _VMEM_BUDGET
+
+
 def blocked_profitable(N: int, itemsize: int = 4) -> bool:
-    """Whether the blocked kernel beats both the sweep and XLA at this N
-    (measured on v5e — scripts/bench_blocked_chol.py)."""
-    return _MIN_N <= N <= _MAX_N and _choose_g(1, N, itemsize) >= 1
+    """Whether one of the blocked-kernel variants beats both the sweep and
+    XLA at this N (measured on v5e — scripts/bench_sweep_n.py)."""
+    if not (_MIN_N <= N <= _MAX_N):
+        return False
+    return _choose_g(1, N, itemsize) >= 1 or _hbm_staged_fits(N, itemsize)
 
 
 def _chol_block(P, row, lane, dtype):
@@ -120,64 +135,100 @@ def _triinv_block(L, row, lane, dtype, hi):
     return jax.lax.fori_loop(0, L.shape[-1], step, jnp.zeros_like(L))
 
 
-def _make_kernel(N: int):
+def _inverse_body(read, write, G: int, N: int, dtype):
+    """Shared kernel body: blocked Cholesky -> L^{-1} -> W^T W over
+    (G, BS, BS) blocks accessed through ``read(i, j)`` / ``write(i, j, V)``
+    (VMEM-pipelined refs or a manually-DMA'd scratch).  Returns the (G, 1)
+    log-determinants."""
+    hi = jax.lax.Precision.HIGHEST
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, BS, 1), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, BS), 2)
     nb = N // BS
 
+    def gemm(a, b, ta=False, tb=False):
+        ca = 1 if ta else 2
+        cb = 2 if tb else 1
+        return jax.lax.dot_general(
+            a, b, (((ca,), (cb,)), ((0,), (0,))),
+            preferred_element_type=dtype, precision=hi)
+
+    # ---- right-looking blocked Cholesky (blocks as SSA values) ----
+    A = {(i, j): read(i, j) for i in range(nb) for j in range(i + 1)}
+    L, Linv = {}, {}
+    logdet = jnp.zeros((G, 1), dtype)
+    for b in range(nb):
+        Lbb, ld = _chol_block(A[(b, b)], row, lane, dtype)
+        logdet = logdet + ld
+        Li = _triinv_block(Lbb, row, lane, dtype, hi)
+        L[(b, b)], Linv[(b, b)] = Lbb, Li
+        for i in range(b + 1, nb):
+            L[(i, b)] = gemm(A[(i, b)], Li, tb=True)        # TRSM (MXU)
+        for i in range(b + 1, nb):
+            for j in range(b + 1, i + 1):                   # SYRK/GEMM (MXU)
+                A[(i, j)] = A[(i, j)] - gemm(L[(i, b)], L[(j, b)],
+                                             tb=True)
+        del A[(b, b)]
+
+    # ---- W = L^{-1} by blocked forward substitution (MXU) ----
+    W = {}
+    for i in range(nb):
+        W[(i, i)] = Linv[(i, i)]
+        for j in range(i):
+            S = gemm(L[(i, j)], W[(j, j)])
+            for k in range(j + 1, i):
+                S = S + gemm(L[(i, k)], W[(k, j)])
+            W[(i, j)] = -gemm(Linv[(i, i)], S)
+
+    # ---- A^{-1} = W^T W, written block-wise (MXU) ----
+    for i in range(nb):
+        for j in range(i + 1):
+            V = gemm(W[(i, i)], W[(i, j)], ta=True)
+            for k in range(i + 1, nb):
+                V = V + gemm(W[(k, i)], W[(k, j)], ta=True)
+            write(i, j, V)
+            if i != j:
+                write(j, i, jnp.swapaxes(V, 1, 2))
+    return logdet
+
+
+def _make_kernel(N: int):
     def kernel(a_ref, inv_ref, logdet_ref):
-        dtype = a_ref.dtype
-        G = a_ref.shape[0]
-        hi = jax.lax.Precision.HIGHEST
-        row = jax.lax.broadcasted_iota(jnp.int32, (1, BS, 1), 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, BS), 2)
-
-        def gemm(a, b, ta=False, tb=False):
-            ca = 1 if ta else 2
-            cb = 2 if tb else 1
-            return jax.lax.dot_general(
-                a, b, (((ca,), (cb,)), ((0,), (0,))),
-                preferred_element_type=dtype, precision=hi)
-
-        def blk(i, j):
+        def read(i, j):
             return a_ref[:, i * BS:(i + 1) * BS, j * BS:(j + 1) * BS]
 
-        # ---- right-looking blocked Cholesky (blocks as SSA values) ----
-        A = {(i, j): blk(i, j) for i in range(nb) for j in range(i + 1)}
-        L, Linv = {}, {}
-        logdet = jnp.zeros((G, 1), dtype)
-        for b in range(nb):
-            Lbb, ld = _chol_block(A[(b, b)], row, lane, dtype)
-            logdet = logdet + ld
-            Li = _triinv_block(Lbb, row, lane, dtype, hi)
-            L[(b, b)], Linv[(b, b)] = Lbb, Li
-            for i in range(b + 1, nb):
-                L[(i, b)] = gemm(A[(i, b)], Li, tb=True)    # TRSM (MXU)
-            for i in range(b + 1, nb):
-                for j in range(b + 1, i + 1):               # SYRK/GEMM (MXU)
-                    A[(i, j)] = A[(i, j)] - gemm(L[(i, b)], L[(j, b)],
-                                                 tb=True)
+        def write(i, j, V):
+            inv_ref[:, i * BS:(i + 1) * BS, j * BS:(j + 1) * BS] = V
 
-        # ---- W = L^{-1} by blocked forward substitution (MXU) ----
-        W = {}
-        for i in range(nb):
-            W[(i, i)] = Linv[(i, i)]
-            for j in range(i):
-                S = gemm(L[(i, j)], W[(j, j)])
-                for k in range(j + 1, i):
-                    S = S + gemm(L[(i, k)], W[(k, j)])
-                W[(i, j)] = -gemm(Linv[(i, i)], S)
+        logdet_ref[:] = _inverse_body(read, write, a_ref.shape[0], N,
+                                      a_ref.dtype)
 
-        # ---- A^{-1} = W^T W, written block-wise (MXU) ----
-        for i in range(nb):
-            for j in range(i + 1):
-                V = gemm(W[(i, i)], W[(i, j)], ta=True)
-                for k in range(i + 1, nb):
-                    V = V + gemm(W[(k, i)], W[(k, j)], ta=True)
-                inv_ref[:, i * BS:(i + 1) * BS, j * BS:(j + 1) * BS] = V
-                if i != j:
-                    inv_ref[:, j * BS:(j + 1) * BS,
-                            i * BS:(i + 1) * BS] = jnp.swapaxes(V, 1, 2)
+    return kernel
 
-        logdet_ref[:] = logdet
+
+def _make_hbm_kernel(N: int):
+    """HBM-resident variant (one matrix per grid step, G=1): A stays in
+    HBM, is DMA'd once into a single (N, N) VMEM scratch, the inverse is
+    computed in place of the scratch, and one DMA writes it back.  Covers
+    N where the double-buffered (G, N, N) in/out pipeline of the VMEM
+    kernel would blow the 16 MB budget (N ~ 1024)."""
+
+    def kernel(a_hbm, inv_hbm, logdet_ref, scratch, sem_in, sem_out):
+        b = pl.program_id(0)
+        dma_in = pltpu.make_async_copy(a_hbm.at[b], scratch, sem_in)
+        dma_in.start()
+        dma_in.wait()
+
+        def read(i, j):
+            return scratch[i * BS:(i + 1) * BS, j * BS:(j + 1) * BS][None]
+
+        def write(i, j, V):
+            scratch[i * BS:(i + 1) * BS, j * BS:(j + 1) * BS] = V[0]
+
+        logdet_ref[:] = _inverse_body(read, write, 1, N, scratch.dtype)
+
+        dma_out = pltpu.make_async_copy(scratch, inv_hbm.at[b], sem_out)
+        dma_out.start()
+        dma_out.wait()
 
     return kernel
 
@@ -205,10 +256,29 @@ def blocked_chol_inverse(A):
     itemsize = jnp.dtype(A.dtype).itemsize
     Np = ((N + BS - 1) // BS) * BS
     g = _choose_g(B, Np, itemsize)
-    if g < 1:
+    if g < 1 and not _hbm_staged_fits(Np, itemsize):
         raise ValueError(f"N={N} exceeds the VMEM budget of the blocked "
                          "Cholesky kernel; route to XLA instead")
     Ap = _pad_to_identity(A, Np)
+
+    if g < 1:
+        # HBM-staged path: manual DMA per matrix, no pipeline buffers
+        inv, logdet = pl.pallas_call(
+            _make_hbm_kernel(Np),
+            out_shape=(jax.ShapeDtypeStruct((B, Np, Np), A.dtype),
+                       jax.ShapeDtypeStruct((B, 1), A.dtype)),
+            grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec((1, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)),
+            scratch_shapes=[pltpu.VMEM((Np, Np), A.dtype),
+                            pltpu.SemaphoreType.DMA(()),
+                            pltpu.SemaphoreType.DMA(())],
+            interpret=_interpret(),
+        )(Ap)
+        return inv[:, :N, :N], logdet[:, 0]
+
     padB = (-B) % g
     if padB:
         eye = jnp.broadcast_to(jnp.eye(Np, dtype=A.dtype),

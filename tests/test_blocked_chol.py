@@ -158,3 +158,23 @@ def test_inverse_mll_profitability_routing():
     assert inverse_mll.inverse_mll_profitable(512)
     # far beyond any VMEM-resident kernel -> not profitable (linalg.mll)
     assert not inverse_mll.inverse_mll_profitable(4096)
+
+
+def test_hbm_staged_variant_matches_numpy(rng, monkeypatch):
+    """The HBM-resident (manual-DMA, single-scratch) variant — used when
+    the double-buffered VMEM pipeline would not fit (N ~ 1024) — must give
+    the same results.  Forced here at small N by shrinking the budget so
+    g < 1 but the single scratch still fits."""
+    n = 2 * pbc.BS
+    need_hbm = (n * n + (3 * 2 * 3 // 2 + 4) * pbc.BS * pbc.BS) * 4
+    monkeypatch.setattr(pbc, "_VMEM_BUDGET", need_hbm + 1024)
+    assert pbc._choose_g(3, n, 4) < 1
+    assert pbc._hbm_staged_fits(n, 4)
+    A = _spd_batch(rng, 3, n)
+    inv, logdet = pbc.blocked_chol_inverse(jnp.asarray(A))
+    np.testing.assert_allclose(np.asarray(inv),
+                               np.linalg.inv(A.astype(np.float64)),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(logdet),
+        np.linalg.slogdet(A.astype(np.float64))[1], rtol=2e-5)
