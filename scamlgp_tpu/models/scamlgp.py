@@ -111,18 +111,24 @@ def validate_meta_data(xs, ys) -> None:
             raise ValueError(f"X/Y length mismatch in task {i}.")
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_restarts", "num_steps"))
+@partial(jax.jit, static_argnames=("cfg", "num_restarts", "num_steps",
+                                   "mll_method"))
 def meta_fit_task_stack(data: TaskData, cfg: gp.GPConfig, key,
                         num_restarts: int = 5,
                         num_steps: int = 60,
-                        task_keys=None) -> SourceStack:
+                        task_keys=None,
+                        mll_method: str = "chol") -> SourceStack:
     """Fit all source GPs at once: ``vmap`` over tasks of a ``vmap`` over
     restarts (reference hot loops 1x2, ``model.py:176-188`` +
     ``utils.py:139-212``).
 
     ``task_keys`` (one PRNG key per task) may be passed instead of ``key``,
     e.g. by ``shard_map`` callers that pre-split globally so each shard's
-    keys match the unsharded program's."""
+    keys match the unsharded program's.
+
+    ``mll_method="sweep"`` routes every MLL evaluation through the Pallas
+    inverse kernels with the analytic matrix-level VJP
+    (``ops/inverse_mll.py``) — the TPU throughput path."""
     m, n, d = data.X.shape
     dtype = data.X.dtype
     warm = gp.init_params(cfg, d, dtype)
@@ -131,7 +137,8 @@ def meta_fit_task_stack(data: TaskData, cfg: gp.GPConfig, key,
         keys = jax.random.split(task_key, num_restarts)
         sampled = jax.vmap(lambda k: gp.sample_params(cfg, k, d, dtype))(keys)
         stack0 = fit_lib.stack_restarts(warm, sampled)
-        obj = lambda p: gp.map_objective(cfg, p, x, y, mask)
+        obj = lambda p: gp.map_objective(cfg, p, x, y, mask,
+                                         method=mll_method)
         return fit_lib.fit_map_restarts(obj, stack0, num_steps=num_steps).params
 
     if task_keys is None:

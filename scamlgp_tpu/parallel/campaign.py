@@ -45,6 +45,9 @@ class CampaignConfig:
     acq_topk: int = 4
     acq_steps: int = 30
     acq_lr: float = 0.05
+    mll_method: str = "chol"               # "chol" | "sweep" (Pallas
+    #                                        inverse kernels + analytic VJP
+    #                                        for every fit objective)
     pruning_threshold: float = 1e-3        # model.py:226
     # fit_method in {"hmc", "nuts"}: full hyperparameter posterior per
     # refit; the acquisition marginalizes over `mixture_samples` draws
@@ -131,7 +134,8 @@ def _fit_target(stack, source_cfg, target_cfg, params_warm, Xbuf, ybuf, mask,
         extra = jnp.sum(m.WEIGHTS_PRIOR.log_prob(w))
         return gp.map_objective(target_cfg, p.gp, Xbuf, y_std, mask=mask,
                                 prior_mean=mean_p, prior_cov=cov_p,
-                                extra_log_prior=extra)
+                                extra_log_prior=extra,
+                                method=cfg.mll_method)
 
     M = stack.num_tasks
     d = Xbuf.shape[-1]
@@ -164,7 +168,8 @@ def _sample_target_hmc(stack, source_cfg, target_cfg, Xbuf, ybuf, mask,
         extra = jnp.sum(m.WEIGHTS_PRIOR.log_prob(w))
         return gp.map_objective(target_cfg, p.gp, Xbuf, y_std, mask=mask,
                                 prior_mean=mean_p, prior_cov=cov_p,
-                                extra_log_prior=extra)
+                                extra_log_prior=extra,
+                                method=cfg.mll_method)
 
     M = stack.num_tasks
     d = Xbuf.shape[-1]
@@ -351,7 +356,8 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                     part = m.meta_fit_task_stack(
                         m.TaskData(*[l[sl] for l in flat]), source_cfg,
                         None, num_restarts=meta_fit_restarts,
-                        num_steps=meta_fit_steps, task_keys=all_keys[sl])
+                        num_steps=meta_fit_steps, task_keys=all_keys[sl],
+                        mll_method=cfg.mll_method)
                     # serialize: keep only one chunk's fit program resident
                     jax.block_until_ready(part)
                     parts.append(part)
@@ -360,7 +366,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             else:
                 flat_stack = m.meta_fit_task_stack(
                     flat, source_cfg, k_meta, num_restarts=meta_fit_restarts,
-                    num_steps=meta_fit_steps)
+                    num_steps=meta_fit_steps, mll_method=cfg.mll_method)
         else:
             # explicit SPMD: each mesh slot fits ITS flat-task slice locally
             # (shard_map takes partitioning discretion away from GSPMD —
@@ -376,7 +382,8 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                 st = m.meta_fit_task_stack(
                     local, source_cfg, None,
                     num_restarts=meta_fit_restarts,
-                    num_steps=meta_fit_steps, task_keys=keys)
+                    num_steps=meta_fit_steps, task_keys=keys,
+                    mll_method=cfg.mll_method)
 
                 # return the stack already (S_local, M, ...)-shaped, so it
                 # comes out study-sharded with no eager cross-process

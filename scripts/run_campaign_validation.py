@@ -34,7 +34,11 @@ def main():
                     help="float64 (CPU parity mode); default f32")
     ap.add_argument("--loop", default="host", choices=["host", "device"])
     ap.add_argument("--fit-method", default="map",
-                choices=["map", "hmc", "nuts"])
+                    choices=["map", "hmc", "nuts"])
+    ap.add_argument("--mll-method", default="chol",
+                    choices=["chol", "sweep"],
+                    help="'sweep' routes every fit MLL through the Pallas "
+                         "inverse kernels (analytic VJP)")
     ap.add_argument("--optimum-method", default="shgo",
                     choices=["shgo", "device"],
                     help="'device': on-device multi-start minima instead of "
@@ -111,7 +115,8 @@ def main():
         mesh = make_mesh(study=len(jax.devices()), task=1)
 
     cfg = CampaignConfig(n_evaluations=args.evals, noise_std=args.sigma,
-                         fit_method=args.fit_method)
+                         fit_method=args.fit_method,
+                         mll_method=args.mll_method)
     t0 = time.time()
     res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
                        loop=args.loop, mesh=mesh,

@@ -377,3 +377,20 @@ def test_campaign_rejects_unknown_fit_method():
         run_campaign(fn, tps, md, jax.random.PRNGKey(0),
                      cfg=CampaignConfig(n_evaluations=2,
                                         fit_method="laplace"))
+
+
+def test_meta_fit_mll_method_sweep_matches_chol(meta):
+    """mll_method='sweep' (Pallas inverse kernels + analytic VJP, interpret
+    mode here) must reproduce the default 'chol' meta-fit."""
+    xs, ys = meta
+    data = m.pack_task_data(xs, ys, dtype=jnp.float64)
+    cfg = gp.source_gp_config()
+    key = jax.random.PRNGKey(3)
+    kw = dict(num_restarts=1, num_steps=15)
+    st_chol = m.meta_fit_task_stack(data, cfg, key, **kw)
+    st_sweep = m.meta_fit_task_stack(data, cfg, key, mll_method="sweep",
+                                     **kw)
+    for a, b in zip(jax.tree_util.tree_leaves(st_sweep.params),
+                    jax.tree_util.tree_leaves(st_chol.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
