@@ -69,8 +69,33 @@ def main():
     cls = getattr(B, args.benchmark)
     cfg = CampaignConfig(n_evaluations=args.evals, noise_std=args.sigma)
 
+    # resume support: sporadic TPU device faults kill long multi-value
+    # runs, so each completed value is persisted immediately and skipped on
+    # re-invocation with the same --out
     rows = []
+    done = set()
+    if args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            rows = json.load(f).get("rows", [])
+        done = {r["value"] for r in rows}
+        if done:
+            print(f"resuming; values already computed: {sorted(done)}",
+                  flush=True)
+
+    def persist():
+        summary = {"benchmark": args.benchmark, "axis": args.axis,
+                   "sigma": args.sigma, "evals": args.evals,
+                   "studies": args.studies,
+                   "backend": jax.default_backend(),
+                   "dtype": str(dtype.__name__), "rows": rows}
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(summary, f, indent=1)
+        return summary
+
     for v in args.values:
+        if v in done:
+            continue
         M = v if args.axis == "tasks" else args.tasks
         N = args.points if args.axis == "tasks" else v
         t0 = time.time()
@@ -93,15 +118,10 @@ def main():
                "wall_s": round(time.time() - t0, 1)}
         rows.append(row)
         print(json.dumps(row), flush=True)
+        persist()
 
-    summary = {"benchmark": args.benchmark, "axis": args.axis,
-               "sigma": args.sigma, "evals": args.evals,
-               "studies": args.studies, "backend": jax.default_backend(),
-               "dtype": str(dtype.__name__), "rows": rows}
-    print(json.dumps(summary))
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(summary, f, indent=1)
+    rows.sort(key=lambda r: r["value"])
+    print(json.dumps(persist()))
 
 
 if __name__ == "__main__":
