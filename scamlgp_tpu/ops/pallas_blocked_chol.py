@@ -41,8 +41,12 @@ BS = 64
 #: matrices per grid cell cap
 DEFAULT_G = 8
 
-#: VMEM budget for live blocks + pipeline buffers (16 MB/core total)
-_VMEM_BUDGET = 12 * 1024 * 1024
+#: VMEM budget for live blocks + pipeline buffers.  The chip has 16 MB of
+#: scoped VMEM/core; the per-G cost model below undercounts pipeline /
+#: alignment overhead by ~25% (measured: g=7 at N=256 allocates 16.14 MB
+#: against the model's 11.7 MB estimate), so the budget is set with that
+#: headroom — a model-estimated 9.5 MB keeps the real allocation < 16 MB.
+_VMEM_BUDGET = 9_500_000
 
 #: N range where this kernel is the measured winner on v5e; outside it the
 #: sweep (below) / XLA (above) paths win — see ops/pallas_sweep.py table
@@ -199,8 +203,13 @@ def _make_kernel(N: int):
         def write(i, j, V):
             inv_ref[:, i * BS:(i + 1) * BS, j * BS:(j + 1) * BS] = V
 
-        logdet_ref[:] = _inverse_body(read, write, a_ref.shape[0], N,
-                                      a_ref.dtype)
+        ld = _inverse_body(read, write, a_ref.shape[0], N, a_ref.dtype)
+        # logdet block layout is (1, 1, G) — the last two dims always equal
+        # the array dims, which keeps the BlockSpec legal for EVERY G
+        # (Mosaic requires last-two block dims divisible by (8, 128) or
+        # equal to the array; a (G, 1) block is illegal unless G % 8 == 0
+        # or G == B, which broke e.g. B=384 -> G=7 on real TPUs)
+        logdet_ref[:] = jnp.swapaxes(ld, 0, 1)[None]
 
     return kernel
 
@@ -224,7 +233,8 @@ def _make_hbm_kernel(N: int):
         def write(i, j, V):
             scratch[i * BS:(i + 1) * BS, j * BS:(j + 1) * BS] = V[0]
 
-        logdet_ref[:] = _inverse_body(read, write, 1, N, scratch.dtype)
+        # (1, 1, 1) block — always BlockSpec-legal (see _make_kernel note)
+        logdet_ref[:] = _inverse_body(read, write, 1, N, scratch.dtype)[None]
 
         dma_out = pltpu.make_async_copy(scratch, inv_hbm.at[b], sem_out)
         dma_out.start()
@@ -266,18 +276,18 @@ def blocked_chol_inverse(A):
         inv, logdet = pl.pallas_call(
             _make_hbm_kernel(Np),
             out_shape=(jax.ShapeDtypeStruct((B, Np, Np), A.dtype),
-                       jax.ShapeDtypeStruct((B, 1), A.dtype)),
+                       jax.ShapeDtypeStruct((B, 1, 1), A.dtype)),
             grid=(B,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                       pl.BlockSpec((1, 1), lambda i: (i, 0),
+                       pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)),
             scratch_shapes=[pltpu.VMEM((Np, Np), A.dtype),
                             pltpu.SemaphoreType.DMA(()),
                             pltpu.SemaphoreType.DMA(())],
             interpret=_interpret(),
         )(Ap)
-        return inv[:, :N, :N], logdet[:, 0]
+        return inv[:, :N, :N], logdet[:, 0, 0]
 
     padB = (-B) % g
     if padB:
@@ -289,16 +299,16 @@ def blocked_chol_inverse(A):
     inv, logdet = pl.pallas_call(
         _make_kernel(Np),
         out_shape=(jax.ShapeDtypeStruct((Bp, Np, Np), A.dtype),
-                   jax.ShapeDtypeStruct((Bp, 1), A.dtype)),
+                   jax.ShapeDtypeStruct((Bp // g, 1, g), A.dtype)),
         grid_spec=pl.GridSpec(
             grid=(Bp // g,),
             in_specs=[pl.BlockSpec((g, Np, Np), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=(pl.BlockSpec((g, Np, Np), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM),
-                       pl.BlockSpec((g, 1), lambda i: (i, 0),
+                       pl.BlockSpec((1, 1, g), lambda i: (i, 0, 0),
                                     memory_space=pltpu.VMEM)),
         ),
         interpret=_interpret(),
     )(Ap)
-    return inv[:B, :N, :N], logdet[:B, 0]
+    return inv[:B, :N, :N], logdet.reshape(Bp)[:B]

@@ -333,11 +333,14 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             start = int(cnt)
 
     # ---- meta-fit: fold (study, task) into one big task axis, fit once ----
-    flat = m.TaskData(*[jnp.reshape(l, (S * M,) + l.shape[2:])
-                        for l in meta_data])
-    flat = shard_studies(flat)  # flat task axis rides the study mesh axis
-    key, k_meta = jax.random.split(key)
     from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
+
+    with GLOBAL_TIMER("campaign_stage_inputs"):
+        flat = m.TaskData(*[jnp.reshape(l, (S * M,) + l.shape[2:])
+                            for l in meta_data])
+        flat = shard_studies(flat)  # flat task axis rides the study mesh axis
+        jax.block_until_ready(flat)
+    key, k_meta = jax.random.split(key)
 
     with GLOBAL_TIMER("campaign_meta_fit"):
         if study_sh is None:
@@ -559,7 +562,9 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                                     in_specs=(spec, spec, spec),
                                     out_specs=(spec, spec, spec),
                                     check_vma=False)
-        X, y, y_clean = campaign_fn(stacks, task_params, study_keys)
+        with GLOBAL_TIMER("campaign_bo_loop"):
+            X, y, y_clean = campaign_fn(stacks, task_params, study_keys)
+            jax.block_until_ready(y_clean)
         return CampaignResult(X=X[:S_real], y=y[:S_real],
                               y_clean=y_clean[:S_real])
 
