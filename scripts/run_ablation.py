@@ -42,6 +42,13 @@ def main():
                     help="sequential meta-fit dispatches (bounds device "
                          "memory at large studies*tasks; must divide "
                          "--studies)")
+    ap.add_argument("--study-chunk", type=int, default=0,
+                    help="run the study batch in sequential campaigns of "
+                         "at most this many studies (0 = auto: 8 when "
+                         "N >= 256 on TPU — the axon backend faults on "
+                         "single campaign programs past ~8 studies at "
+                         "N=256; studies are independent, so chunked "
+                         "campaigns are statistically equivalent)")
     ap.add_argument("--out", default=None, help="JSON output path")
     args = ap.parse_args()
 
@@ -99,15 +106,26 @@ def main():
         M = v if args.axis == "tasks" else args.tasks
         N = args.points if args.axis == "tasks" else v
         t0 = time.time()
-        fn, tps, md, optima = campaign_inputs_from_benchmark(
-            cls, [N] * M,
-            study_seeds=range(args.seed_offset,
-                              args.seed_offset + args.studies),
-            noise_std=args.sigma, dtype=dtype,
-            optimum_method=args.optimum_method)
-        res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
-                           meta_fit_chunks=args.meta_fit_chunks)
-        reg = np.asarray(simple_regret(res.y_clean, optima))
+        chunk = args.study_chunk
+        if chunk == 0:
+            chunk = (8 if N >= 256 and jax.default_backend() == "tpu"
+                     else args.studies)
+        chunk = min(chunk, args.studies)
+        reg_parts = []
+        for c0 in range(0, args.studies, chunk):
+            seeds = range(args.seed_offset + c0,
+                          args.seed_offset + min(c0 + chunk, args.studies))
+            fn, tps, md, optima = campaign_inputs_from_benchmark(
+                cls, [N] * M, study_seeds=seeds,
+                noise_std=args.sigma, dtype=dtype,
+                optimum_method=args.optimum_method)
+            mfc = args.meta_fit_chunks if len(seeds) == args.studies else 1
+            res = run_campaign(fn, tps, md,
+                               jax.random.fold_in(jax.random.PRNGKey(0), c0),
+                               cfg=cfg, meta_fit_chunks=mfc)
+            reg_parts.append(
+                np.asarray(simple_regret(res.y_clean, optima)))
+        reg = np.concatenate(reg_parts, axis=0)
         # average cumulative regret per study, then mean +/- SEM over studies
         cum = np.mean(reg, axis=1)
         sem = float(np.std(cum, ddof=1) / np.sqrt(len(cum)))
