@@ -80,6 +80,11 @@ def device_optima(fn, task_params, d, key=None, n_samples: int = 8192,
     S = leaves[0].shape[0]
     dtype = leaves[0].dtype
 
+    # dtype guard: with x64 enabled (chol64 island) benchmark constants
+    # default to f64 and would flip the polish scan's carry dtype
+    raw_fn = fn
+    fn = lambda x, tp: jnp.asarray(raw_fn(x, tp), dtype)  # noqa: E731
+
     def logit(u):
         u = jnp.clip(u, 1e-6, 1 - 1e-6)
         return jnp.log(u) - jnp.log1p(-u)

@@ -520,8 +520,10 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
         best = jnp.argmin(jnp.where(jnp.isfinite(negv), negv, jnp.inf))
         x_star = jax.nn.sigmoid(zs[best])
 
-        # evaluate benchmark + homoscedastic noise
-        y_clean = benchmark_fn(x_star, tparams)
+        # evaluate benchmark + homoscedastic noise (cast guards the campaign
+        # dtype when x64 is enabled for a chol64 island: benchmark constants
+        # default to f64 there and would otherwise poison the f32 buffers)
+        y_clean = jnp.asarray(benchmark_fn(x_star, tparams), dtype)
         y_noisy = y_clean + cfg.noise_std * jax.random.normal(k_noise, (),
                                                               dtype)
         Xbuf = jax.lax.dynamic_update_slice(Xbuf, x_star[None], (i, 0))

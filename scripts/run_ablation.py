@@ -42,6 +42,12 @@ def main():
                     help="sequential meta-fit dispatches (bounds device "
                          "memory at large studies*tasks; must divide "
                          "--studies)")
+    ap.add_argument("--mll-method", default="chol",
+                    choices=["chol", "sweep", "chol64"],
+                    help="fit-objective factorization (chol64 = f64-island "
+                         "for ill-conditioned large-N f32 systems; enables "
+                         "x64 while keeping campaign buffers at --f64's "
+                         "dtype)")
     ap.add_argument("--study-chunk", type=int, default=0,
                     help="run the study batch in sequential campaigns of "
                          "at most this many studies (0 = auto: 8 when "
@@ -57,7 +63,7 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu)
-    if args.f64:
+    if args.f64 or args.mll_method == "chol64":
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
@@ -74,7 +80,8 @@ def main():
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     cls = getattr(B, args.benchmark)
-    cfg = CampaignConfig(n_evaluations=args.evals, noise_std=args.sigma)
+    cfg = CampaignConfig(n_evaluations=args.evals, noise_std=args.sigma,
+                         mll_method=args.mll_method)
 
     # resume support: sporadic TPU device faults kill long multi-value
     # runs, so each completed value is persisted immediately and skipped on
@@ -94,7 +101,11 @@ def main():
                    "sigma": args.sigma, "evals": args.evals,
                    "studies": args.studies,
                    "backend": jax.default_backend(),
-                   "dtype": str(dtype.__name__), "rows": rows}
+                   "dtype": str(dtype.__name__),
+                   # study chunk c0 > 0 runs under fold_in(PRNGKey(0), c0);
+                   # the first chunk (and unchunked runs) under PRNGKey(0)
+                   "prng": "PRNGKey(0); fold_in(c0) for later study chunks",
+                   "rows": rows}
         if args.out:
             with open(args.out, "w") as f:
                 json.dump(summary, f, indent=1)
@@ -111,25 +122,44 @@ def main():
             chunk = (8 if N >= 256 and jax.default_backend() == "tpu"
                      else args.studies)
         chunk = min(chunk, args.studies)
+        # chunk-level fault resume: device faults mid-value lose only the
+        # running chunk, not the whole value (completed chunks persist in a
+        # sidecar next to --out)
+        cache_dir = f"{args.out}.chunks" if args.out else None
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
         reg_parts = []
         for c0 in range(0, args.studies, chunk):
+            cache = (os.path.join(cache_dir, f"v{v}_c{c0}.npy")
+                     if cache_dir else None)
+            if cache and os.path.exists(cache):
+                reg_parts.append(np.load(cache))
+                continue
             seeds = range(args.seed_offset + c0,
                           args.seed_offset + min(c0 + chunk, args.studies))
             fn, tps, md, optima = campaign_inputs_from_benchmark(
                 cls, [N] * M, study_seeds=seeds,
                 noise_std=args.sigma, dtype=dtype,
                 optimum_method=args.optimum_method)
-            mfc = args.meta_fit_chunks if len(seeds) == args.studies else 1
-            res = run_campaign(fn, tps, md,
-                               jax.random.fold_in(jax.random.PRNGKey(0), c0),
+            # honor --meta-fit-chunks inside study chunks when it divides the
+            # chunk's study count (it exists to bound device memory; silently
+            # dropping it under chunking could reintroduce the blowup)
+            mfc = (args.meta_fit_chunks
+                   if len(seeds) % args.meta_fit_chunks == 0 else 1)
+            key = (jax.random.PRNGKey(0) if c0 == 0
+                   else jax.random.fold_in(jax.random.PRNGKey(0), c0))
+            res = run_campaign(fn, tps, md, key,
                                cfg=cfg, meta_fit_chunks=mfc)
-            reg_parts.append(
-                np.asarray(simple_regret(res.y_clean, optima)))
+            part = np.asarray(simple_regret(res.y_clean, optima))
+            if cache:
+                np.save(cache, part)
+            reg_parts.append(part)
         reg = np.concatenate(reg_parts, axis=0)
         # average cumulative regret per study, then mean +/- SEM over studies
         cum = np.mean(reg, axis=1)
         sem = float(np.std(cum, ddof=1) / np.sqrt(len(cum)))
         row = {"value": v, "M": M, "N": N,
+               "mll_method": args.mll_method,
                "avg_cum_regret_mean": float(np.mean(cum)),
                "avg_cum_regret_sem": sem,
                "median_final_regret": float(np.median(reg[:, -1])),
