@@ -31,20 +31,25 @@ from scamlgp_tpu.bo.core import Objective
 
 def compute_regrets(objective: Objective, optimum: float,
                     objective_values: List[dict]) -> List[float]:
-    """Running-min simple regret per BO iteration (reference
-    ``plotting.py:21-53``).  Small negative regrets are possible when the
-    optimum itself came from a numerical optimizer — warn, don't fail."""
+    """Running-min simple regret per BO iteration (behavioral contract of
+    reference ``plotting.py:21-53``, vectorized over the iteration axis).
+
+    Maximization objectives are folded into minimization by sign flip, so
+    regret is always "distance above the optimum".  A slightly negative raw
+    regret is possible when the recorded optimum itself came from a
+    numerical optimizer (SHGO / device polish) — it is reported, not
+    clamped.
+    """
     sign = -1.0 if objective.greater_is_better else 1.0
-    regrets: List[float] = []
-    for ovs in objective_values:
-        loss = sign * ovs[objective.name]
-        regret = loss - (sign * optimum)
-        if regret < -1e-6:
-            warnings.warn(
-                f"A negative regret was detected. The regret value was "
-                f"{regret}.", Warning)
-        regrets.append(regret if not regrets else min(regret, regrets[-1]))
-    return regrets
+    losses = sign * np.array([ov[objective.name] for ov in objective_values],
+                             dtype=float)
+    raw = losses - sign * float(optimum)
+    if raw.size and raw.min() < -1e-6:
+        warnings.warn(
+            f"negative regret (min {raw.min():.6g}): an evaluation beat the "
+            f"recorded optimum — optimum is likely numerical, not exact",
+            Warning)
+    return np.minimum.accumulate(raw).tolist()
 
 
 def _study_objective(s: dict) -> Objective:
@@ -58,13 +63,6 @@ def _study_objective(s: dict) -> Objective:
     return Objective(**base)
 
 
-def _regrets_from_studies(studies: List[dict]) -> List[List[float]]:
-    return [
-        compute_regrets(objective=_study_objective(s), optimum=s["optimum"],
-                        objective_values=[e["objectives"]
-                                          for e in s["evaluations"]])
-        for s in studies
-    ]
 
 
 def _aggregate(values: np.ndarray, robust_statistics: bool):
@@ -79,51 +77,47 @@ def _aggregate(values: np.ndarray, robust_statistics: bool):
     return center, lower, upper
 
 
-def _plot_regrets(ax: plt.Axes, studies: list, color_primary, color_secondary,
-                  robust_statistics: bool, linestyle: str = "-",
-                  label: Optional[str] = None,
-                  optimum: Optional[Union[float, List[float]]] = None):
-    regrets = [
-        compute_regrets(
-            objective=_study_objective(s),
-            optimum=(s["optimum"] if optimum is None
-                     else (optimum[i] if isinstance(optimum, Iterable)
-                           else optimum)),
-            objective_values=[e["objectives"] for e in s["evaluations"]])
-        for i, s in enumerate(studies)
-    ]
-    if not regrets:
-        warn(f"No regrets for {label}")
-        return
-    n_trials = len(regrets[0])
-    x = np.arange(1, n_trials + 1)
-    center, lower, upper = _aggregate(np.asarray(regrets), robust_statistics)
-    ax.set_yscale("log")
-    ax.plot(x, center, color=color_primary, linestyle=linestyle, label=label)
-    ax.fill_between(x=x, y1=lower, y2=upper, color=color_secondary)
-    ax.set_xlim(1, n_trials)
+def _regret_curves(studies: list, optimum_override=None) -> np.ndarray:
+    """(studies, iterations) matrix of running-min regrets.
+
+    ``optimum_override`` replaces each study's recorded optimum: a scalar
+    applies to every study, a sequence is indexed per study (the
+    study-wise-best fallback of ``_study_wise_optima``).
+    """
+    def optimum_for(i, s):
+        if optimum_override is None:
+            return s["optimum"]
+        if isinstance(optimum_override, Iterable):
+            return optimum_override[i]
+        return optimum_override
+
+    return np.array([
+        compute_regrets(_study_objective(s), optimum_for(i, s),
+                        [e["objectives"] for e in s["evaluations"]])
+        for i, s in enumerate(studies)])
 
 
-def _plot_objective(ax: plt.Axes, studies: list, color_primary,
-                    color_secondary, objective: Objective,
-                    robust_statistics: bool, linestyle: str = "-",
-                    label: Optional[str] = None):
-    objective_values = np.array([
-        [e["objectives"][objective.name] for e in s["evaluations"]]
-        for s in studies])
-    if not len(objective_values):
-        warn(f"No objective values for {label}")
+def _cummin_objective_curves(studies: list,
+                             objective: Objective) -> np.ndarray:
+    """(studies, iterations) best-so-far objective values (no optimum)."""
+    vals = np.array([[e["objectives"][objective.name]
+                      for e in s["evaluations"]] for s in studies])
+    acc = np.maximum if objective.greater_is_better else np.minimum
+    return acc.accumulate(vals, axis=1) if vals.size else vals
+
+
+def _banded_curve(ax: plt.Axes, curves: np.ndarray, *, color, linestyle,
+                  label, robust_statistics: bool):
+    """Center line + dispersion band over the study axis of ``curves``."""
+    if not len(curves):
+        warn(f"no curves to plot for {label}")
         return
-    n_trials = len(objective_values[0])
-    x = np.arange(1, n_trials + 1)
-    objective_values = (np.maximum.accumulate(objective_values, axis=1)
-                        if objective.greater_is_better
-                        else np.minimum.accumulate(objective_values, axis=1))
-    center, lower, upper = _aggregate(objective_values, robust_statistics)
-    ax.plot(x, center, color=color_primary, linestyle=linestyle,
-            label=f"{label} (S{len(studies)})")
-    ax.fill_between(x=x, y1=lower, y2=upper, color=color_secondary)
-    ax.set_xlim(1, n_trials)
+    iters = np.arange(1, curves.shape[1] + 1)
+    center, lower, upper = _aggregate(np.asarray(curves), robust_statistics)
+    ax.plot(iters, center, color=(*color, 0.8), linestyle=linestyle,
+            label=label)
+    ax.fill_between(iters, lower, upper, color=(*color, 0.3))
+    ax.set_xlim(1, iters[-1])
 
 
 def _study_wise_optima(data: List[dict], objective: Objective) -> List[float]:
@@ -195,24 +189,18 @@ def grouped_results(runs_data: list, optimizer_styles: dict,
                 else optimizer_styles[config.optimizer])
 
             if use_regrets:
-                _plot_regrets(
-                    ax=ax, studies=data["studies"],
-                    robust_statistics=robust_statistics,
-                    color_primary=(*optimizer_style["color"], 0.8),
-                    color_secondary=(*optimizer_style["color"], 0.3),
-                    linestyle=optimizer_style["line"],
-                    label=optimizer_style["label"],
-                    optimum=(study_wise_optima
-                             if optimum is None and not use_benchmark_optimum
-                             else optimum))
+                override = (study_wise_optima
+                            if optimum is None and not use_benchmark_optimum
+                            else optimum)
+                curves = _regret_curves(data["studies"], override)
+                label = optimizer_style["label"]
+                ax.set_yscale("log")
             else:
-                _plot_objective(
-                    ax=ax, studies=data["studies"],
-                    robust_statistics=robust_statistics,
-                    color_primary=(*optimizer_style["color"], 0.8),
-                    color_secondary=(*optimizer_style["color"], 0.3),
-                    linestyle=optimizer_style["line"],
-                    label=optimizer_style["label"], objective=_objective)
+                curves = _cummin_objective_curves(data["studies"], _objective)
+                label = f"{optimizer_style['label']} (S{len(data['studies'])})"
+            _banded_curve(ax, curves, color=optimizer_style["color"],
+                          linestyle=optimizer_style["line"], label=label,
+                          robust_statistics=robust_statistics)
         ax.set_xticks([1] + list(ax.get_xticks()[1:]))
 
     y_label = "Regret" if use_regrets else _objective.name
@@ -248,14 +236,12 @@ def grouped_results(runs_data: list, optimizer_styles: dict,
 
 
 def _compute_average_cum_regret(studies: List[dict]) -> float:
-    regrets = _regrets_from_studies(studies)
-    cum_regret = np.sum(regrets, axis=1).squeeze()
+    cum_regret = _regret_curves(studies).sum(axis=1).squeeze()
     return np.mean(cum_regret).item()
 
 
 def _compute_sem_cum_regret(studies: List[dict]) -> float:
-    regrets = _regrets_from_studies(studies)
-    cum_regret = np.sum(regrets, axis=1).squeeze()
+    cum_regret = _regret_curves(studies).sum(axis=1).squeeze()
     return np.sqrt(np.var(cum_regret) / cum_regret.shape[0]).item()
 
 

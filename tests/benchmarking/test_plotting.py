@@ -12,7 +12,7 @@ from scamlgp_tpu.benchmarking.experiment_config_utils import (
     parse_experiment_config,
 )
 from scamlgp_tpu.benchmarking.plotting import (
-    _regrets_from_studies,
+    _regret_curves,
     grouped_results,
     plot_meta_data_summary_comparison,
 )
@@ -52,7 +52,7 @@ def _fake_run(config, studies):
 
 def test_noise_free_objective_preferred(rng):
     studies = _fake_studies(rng, 3, 5, noisy=True)
-    regrets = _regrets_from_studies(studies)
+    regrets = _regret_curves(studies)
     assert len(regrets) == 3 and len(regrets[0]) == 5
     for r in regrets:
         assert all(np.diff(r) <= 1e-12)
