@@ -88,7 +88,7 @@ def _campaign_routable(optimizer_cls, optimizer_kwargs, benchmark_cls,
                        benchmark_kwargs, noise_spec) -> bool:
     """Whether an experiment can run through the vectorized on-device
     campaign: synthetic jax-evaluable benchmark, default ScaMLGPBO (fit
-    method override allowed — map/hmc/nuts are all campaign-supported),
+    method override allowed — map/hmc/nuts/vi are all campaign-supported),
     homoscedastic 'loss' noise (or none)."""
     from scamlgp_tpu.benchmarking.jax_adapters import JAX_FUNCTIONS
     from scamlgp_tpu.benchmarking.noise.homoscedastic import (
@@ -100,7 +100,7 @@ def _campaign_routable(optimizer_cls, optimizer_kwargs, benchmark_cls,
             and optimizer_cls is ScaMLGPBO
             and set(optimizer_kwargs) <= {"fit_method"}
             and optimizer_kwargs.get("fit_method", "map") in ("map", "hmc",
-                                                              "nuts")
+                                                              "nuts", "vi")
             and set(benchmark_kwargs) == {"n_data_per_task"}
             and len(benchmark_kwargs["n_data_per_task"]) > 0
             and (noise_spec is None

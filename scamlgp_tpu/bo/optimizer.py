@@ -135,6 +135,7 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
         num_fit_steps: int = 60,
         fit_method: str = "map",
         hmc_kwargs: Optional[Dict[str, Any]] = None,
+        vi_kwargs: Optional[Dict[str, Any]] = None,
     ):
         r"""Single-objective meta-learning BO with ScaML-GP as surrogate.
 
@@ -167,6 +168,9 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
                 posterior *mixture* predictive (BASELINE.json north star).
             hmc_kwargs: overrides for chains/warmup/samples/leapfrog and the
                 number of mixture samples used in the acquisition.
+            vi_kwargs: fit_method="vi" overrides — ADVI steps / MC draws per
+                ELBO gradient / learning rate / acquisition mixture size
+                (``models/vi.py``).
         """
         super().__init__(search_space, objective, seed)
         self.logger = logger or logging.getLogger("scamlgp_tpu")
@@ -177,13 +181,15 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
         self.num_fit_steps = num_fit_steps
         self.model_kwargs = model_kwargs or {}
         self.af_optimizer_kwargs = dict(af_optimizer_kwargs or {})
-        if fit_method not in ("map", "hmc", "nuts"):
+        if fit_method not in ("map", "hmc", "nuts", "vi"):
             raise ValueError(f"Unknown fit_method {fit_method!r}")
         self.fit_method = fit_method
         self.hmc_kwargs = {"num_chains": 2, "num_warmup": 100,
                            "num_samples": 64, "num_leapfrog": 8,
                            "max_depth": 6,
                            "mixture_samples": 16, **(hmc_kwargs or {})}
+        self.vi_kwargs = {"num_steps": 200, "num_mc": 8, "lr": 0.05,
+                          "mixture_samples": 16, **(vi_kwargs or {})}
         self._hyper_samples = None
         self._af_factory = acquisition_function_factory
         self._n_features = len(self.search_space)
@@ -255,7 +261,7 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
             finite = [l for l in self.losses if np.isfinite(l)]
             best_f = jnp.asarray(min(finite) if finite else np.inf, self.dtype)
             self._key, k_af = jax.random.split(self._key)
-            if (self.fit_method in ("hmc", "nuts")
+            if (self.fit_method in ("hmc", "nuts", "vi")
                     and self._hyper_samples is not None):
                 states = jax.vmap(
                     lambda p: model_lib.scamlgp_acq_state(
@@ -331,7 +337,23 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
         self.model = self._build_model(Xf, yf, params=warm)
 
         self._key, k_fit = jax.random.split(self._key)
-        if self.fit_method in ("hmc", "nuts"):
+        if self.fit_method == "vi":
+            from scamlgp_tpu.models import vi as vi_lib
+            from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
+
+            vk = self.vi_kwargs
+            with GLOBAL_TIMER("refit"):
+                samples, _ = vi_lib.fit_scamlgp_vi(
+                    self.model, self.target_cfg, k_fit,
+                    num_steps=vk["num_steps"], num_mc=vk["num_mc"],
+                    lr=vk["lr"], num_draws=vk["mixture_samples"],
+                    init_params=warm)
+            # draws are i.i.d. from q — no chain interleave/thinning needed
+            self._hyper_samples = samples
+            last_params = jax.tree_util.tree_map(
+                lambda l: l[-1], self._hyper_samples)
+            self.model = self.model._replace(params=last_params)
+        elif self.fit_method in ("hmc", "nuts"):
             from scamlgp_tpu.models import hmc as hmc_lib
             from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
 
@@ -382,7 +404,7 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
             impute_nans_with_constant(self.search_space.to_numerical(c))
             for c in configurations])
         Xq = jnp.asarray(X, self.dtype)
-        if self.fit_method in ("hmc", "nuts") and self._hyper_samples is not None:
+        if self.fit_method in ("hmc", "nuts", "vi") and self._hyper_samples is not None:
             def one(p):
                 mm = self.model._replace(params=p)
                 return model_lib.scamlgp_posterior_diag(

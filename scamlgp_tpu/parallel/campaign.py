@@ -38,7 +38,7 @@ class CampaignConfig:
     n_evaluations: int = 40
     noise_std: float = 1.0
     ucb_beta: float = 9.0                  # utils.py:215-224
-    fit_method: str = "map"                # "map" | "hmc" | "nuts"
+    fit_method: str = "map"                # "map" | "hmc" | "nuts" | "vi"
     fit_steps: int = 60                    # L-BFGS iterations per restart
     fit_restarts: int = 5                  # prior-sampled, on top of warm
     acq_raw_samples: int = 256
@@ -57,6 +57,11 @@ class CampaignConfig:
     hmc_leapfrog: int = 12                 # hmc only
     hmc_max_depth: int = 6                 # nuts only
     mixture_samples: int = 8
+    # fit_method == "vi": mean-field ADVI (models/vi.py) — draws for the
+    # acquisition mixture come from the fitted q, `mixture_samples` of them
+    vi_steps: int = 200
+    vi_mc: int = 8
+    vi_lr: float = 0.05
 
 
 class CampaignResult(NamedTuple):
@@ -206,6 +211,35 @@ def _sample_target_hmc(stack, source_cfg, target_cfg, Xbuf, ybuf, mask,
     return flat
 
 
+def _sample_target_vi(stack, source_cfg, target_cfg, params_warm, Xbuf, ybuf,
+                      mask, out_mean, out_std, key, cfg: CampaignConfig):
+    """Posterior draws of the target parameters for ONE study via mean-field
+    ADVI (``models/vi.py``) over the same training-mode objective as
+    ``_fit_target`` — the campaign equivalent of
+    ``ScaMLGPBO(fit_method='vi')``.  Returns a TargetParams pytree with
+    leading ``mixture_samples`` axis."""
+    from scamlgp_tpu.models import vi as vi_lib
+
+    means, covs = m.source_predict(stack, source_cfg, Xbuf, full_cov=True)
+    y_std = (ybuf - out_mean) / out_std * mask
+
+    def log_prob(p):
+        w = m.weights_forward(p.raw_weights)
+        mean_p = (jnp.einsum("mq,m->q", means, w) - out_mean) / out_std
+        cov_p = jnp.einsum("mqp,m->qp", covs, w ** 2) / out_std ** 2
+        extra = jnp.sum(m.WEIGHTS_PRIOR.log_prob(w))
+        return -gp.map_objective(target_cfg, p.gp, Xbuf, y_std, mask=mask,
+                                 prior_mean=mean_p, prior_cov=cov_p,
+                                 extra_log_prior=extra,
+                                 method=cfg.mll_method)
+
+    k_fit, k_draw = jax.random.split(key)
+    q, unflatten, _ = vi_lib.advi(log_prob, params_warm, k_fit,
+                                  num_steps=cfg.vi_steps, num_mc=cfg.vi_mc,
+                                  lr=cfg.vi_lr)
+    return vi_lib.sample_q(q, unflatten, k_draw, cfg.mixture_samples)
+
+
 def _out_transform(stack, ybuf, mask):
     """Global Standardize over concat(meta, target) with the empty-target
     identity rule (model.py:261-276,307-308)."""
@@ -270,7 +304,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             iterations (pre-emption drill / incremental execution; resume by
             calling again with the same ``checkpoint_path``).
     """
-    if cfg.fit_method not in ("map", "hmc", "nuts"):
+    if cfg.fit_method not in ("map", "hmc", "nuts", "vi"):
         raise ValueError(f"Unknown fit_method {cfg.fit_method!r}")
     source_cfg = source_cfg or gp.source_gp_config()
     target_cfg = target_cfg or gp.target_gp_config()
@@ -443,10 +477,15 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             return (-mu[0] + jnp.sqrt(cfg.ucb_beta)
                     * jnp.sqrt(jnp.maximum(var[0], 1e-30)))
 
-        if cfg.fit_method in ("hmc", "nuts"):
-            hyper_samples = _sample_target_hmc(
-                stack, source_cfg, target_cfg, Xbuf, ybuf, mask,
-                out_mean, out_std, k_fit, cfg)
+        if cfg.fit_method in ("hmc", "nuts", "vi"):
+            if cfg.fit_method == "vi":
+                hyper_samples = _sample_target_vi(
+                    stack, source_cfg, target_cfg, warm, Xbuf, ybuf, mask,
+                    out_mean, out_std, k_fit, cfg)
+            else:
+                hyper_samples = _sample_target_hmc(
+                    stack, source_cfg, target_cfg, Xbuf, ybuf, mask,
+                    out_mean, out_std, k_fit, cfg)
             # carry the last draw as next iteration's (unused-by-hmc) state
             params = jax.tree_util.tree_map(lambda l: l[-1], hyper_samples)
             states = jax.vmap(make_state)(hyper_samples)

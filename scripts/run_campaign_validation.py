@@ -34,9 +34,9 @@ def main():
                     help="float64 (CPU parity mode); default f32")
     ap.add_argument("--loop", default="host", choices=["host", "device"])
     ap.add_argument("--fit-method", default="map",
-                    choices=["map", "hmc", "nuts"])
+                    choices=["map", "hmc", "nuts", "vi"])
     ap.add_argument("--mll-method", default="chol",
-                    choices=["chol", "sweep"],
+                    choices=["chol", "sweep", "chol64"],
                     help="'sweep' routes every fit MLL through the Pallas "
                          "inverse kernels (analytic VJP)")
     ap.add_argument("--optimum-method", default="shgo",
@@ -69,7 +69,7 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu)
-    if args.f64:
+    if args.f64 or args.mll_method == "chol64":
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np

@@ -229,6 +229,8 @@ def test_campaign_routable_guards():
                               {"n_data_per_task": [4]}, noise)
     assert _campaign_routable(ScaMLGPBO, {"fit_method": "nuts"}, Quadratic,
                               {"n_data_per_task": [4]}, noise)
+    assert _campaign_routable(ScaMLGPBO, {"fit_method": "vi"}, Quadratic,
+                              {"n_data_per_task": [4]}, noise)
     assert not _campaign_routable(ScaMLGPBO, {"fit_method": "laplace"},
                                   Quadratic, {"n_data_per_task": [4]}, noise)
     # custom optimizer kwargs -> host runner

@@ -136,7 +136,7 @@ def test_campaign_reduces_regret():
     from scamlgp_tpu.benchmarking.jax_adapters import (
         campaign_to_study_results,
     )
-    from scamlgp_tpu.benchmarking.plotting import _regrets_from_studies
+    from scamlgp_tpu.benchmarking.plotting import _regret_curves
 
     studies = campaign_to_study_results(Quadratic, [10] * 3, [0, 1], res,
                                         optima)
@@ -149,7 +149,7 @@ def test_campaign_reduces_regret():
         assert b.search_space.check_validity(ev["configuration"])
     # plotting regret (vs each study's own optimum) == campaign simple_regret
     plot_reg = np.stack(
-        [np.asarray(r) for r in _regrets_from_studies(studies)])
+        [np.asarray(r) for r in _regret_curves(studies)])
     np.testing.assert_allclose(plot_reg, reg, rtol=1e-5, atol=1e-7)
 
 

@@ -1,0 +1,161 @@
+"""Mean-field ADVI: calibration on a known Gaussian, agreement with HMC on a
+GP hyperparameter posterior, and the vi fit mode end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scamlgp_tpu.models import gp, hmc, vi
+from scamlgp_tpu.models import scamlgp as m
+
+
+def test_advi_recovers_gaussian_moments():
+    """For a Gaussian target the mean-field family is exact: the fitted q
+    must reproduce mean and per-dimension std closely."""
+    mu = jnp.asarray([1.0, -2.0, 0.5])
+    sigma = jnp.asarray([0.5, 2.0, 1.0])
+
+    def log_prob(x):
+        return -0.5 * jnp.sum(((x - mu) / sigma) ** 2)
+
+    init = jnp.zeros((3,), mu.dtype)
+    q, unflatten, info = vi.advi(log_prob, init, jax.random.PRNGKey(0),
+                                 num_steps=800, num_mc=16, lr=0.05)
+    np.testing.assert_allclose(np.asarray(q.mu), np.asarray(mu), atol=0.1)
+    np.testing.assert_allclose(np.asarray(jnp.exp(q.log_sigma)),
+                               np.asarray(sigma), rtol=0.2)
+    trace = np.asarray(info["neg_elbo_trace"])
+    assert np.isfinite(trace).all()
+    # ELBO improved over the fit
+    assert trace[-50:].mean() < trace[:50].mean()
+
+    draws = vi.sample_q(q, unflatten, jax.random.PRNGKey(1), 2000)
+    xs = np.asarray(draws)
+    np.testing.assert_allclose(xs.mean(0), np.asarray(mu), atol=0.15)
+    np.testing.assert_allclose(xs.std(0), np.asarray(sigma), rtol=0.25)
+
+
+def test_advi_deterministic_given_key():
+    def log_prob(x):
+        return -0.5 * jnp.sum(x ** 2)
+
+    init = jnp.ones((2,))
+    q1, _, _ = vi.advi(log_prob, init, jax.random.PRNGKey(7), num_steps=50)
+    q2, _, _ = vi.advi(log_prob, init, jax.random.PRNGKey(7), num_steps=50)
+    np.testing.assert_array_equal(np.asarray(q1.mu), np.asarray(q2.mu))
+    np.testing.assert_array_equal(np.asarray(q1.log_sigma),
+                                  np.asarray(q2.log_sigma))
+
+
+def test_scamlgp_vi_moments_match_hmc(rng):
+    """VI and HMC target the same raw-space posterior.  Parameter-space
+    moments are not comparable when the weight posterior has a ridge, so the
+    contract checked here is the one the BO loop consumes: the posterior
+    *mixture predictive* moments at held-out points agree within mean-field
+    tolerance."""
+    xs = [rng.uniform(size=(16, 1)) for _ in range(2)]
+    # one informative source (same function as target), one distractor —
+    # identifies the weight posterior
+    ys = [np.sin(6 * xs[0][:, 0]), np.cos(9 * xs[1][:, 0])]
+    stack, cfg = m.meta_fit_scamlgp(xs, ys, key=jax.random.PRNGKey(1),
+                                    num_restarts_log_likelihood=1,
+                                    num_steps=20)
+    Xt = rng.uniform(size=(12, 1))
+    yt = np.sin(6 * Xt[:, 0])
+    model = m.build_scamlgp(stack, cfg, Xt, yt)
+    tcfg = gp.target_gp_config()
+
+    hmc_samples, _ = hmc.sample_scamlgp_hyperparameters(
+        model, tcfg, jax.random.PRNGKey(2), num_chains=2, num_warmup=200,
+        num_samples=200, num_leapfrog=8)
+    vi_samples, info = vi.fit_scamlgp_vi(
+        model, tcfg, jax.random.PRNGKey(3), num_steps=600, num_mc=8,
+        lr=0.03, num_draws=400)
+    # fit_scamlgp_vi returns a flat draw axis; mixture helper expects
+    # (chains, samples) — add a singleton chain axis
+    vi_stack = jax.tree_util.tree_map(lambda l: l[None], vi_samples)
+
+    Xq = jnp.asarray(rng.uniform(size=(6, 1)))
+    h_mean, h_var = hmc.posterior_mixture_diag(model, cfg, tcfg, hmc_samples,
+                                               Xq, max_samples=200)
+    v_mean, v_var = hmc.posterior_mixture_diag(model, cfg, tcfg, vi_stack,
+                                               Xq, max_samples=200)
+
+    h_mean, h_var = np.asarray(h_mean), np.asarray(h_var)
+    v_mean, v_var = np.asarray(v_mean), np.asarray(v_var)
+    assert np.isfinite(v_mean).all() and np.isfinite(v_var).all()
+    scale = max(np.abs(h_mean).max(), np.sqrt(h_var.max()), 0.1)
+    np.testing.assert_allclose(v_mean, h_mean, atol=0.35 * scale)
+    # predictive spread within a factor (mean-field underestimates, and
+    # MC error on both sides is nontrivial)
+    ratio = np.sqrt((v_var + 1e-9) / (h_var + 1e-9))
+    assert np.all(ratio < 3.0) and np.all(ratio > 0.2), ratio
+    assert (np.asarray(info["neg_elbo_trace"])[-50:].mean()
+            < np.asarray(info["neg_elbo_trace"])[:50].mean())
+
+
+def test_campaign_fit_method_vi(rng):
+    """fit_method='vi': posterior-marginalized acquisition inside the
+    vectorized campaign (campaign analogue of ScaMLGPBO(fit_method='vi'))."""
+    from scamlgp_tpu.benchmarking import benchmarks as B
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+    )
+    from scamlgp_tpu.parallel.campaign import (
+        CampaignConfig,
+        run_campaign,
+        simple_regret,
+    )
+
+    fn, tps, md, optima = campaign_inputs_from_benchmark(
+        B.Quadratic, [6] * 2, study_seeds=[0, 1], noise_std=0.05,
+        dtype=jnp.float32, optimum_method="device")
+    cfg = CampaignConfig(n_evaluations=4, noise_std=0.05, fit_method="vi",
+                         vi_steps=40, vi_mc=4, mixture_samples=4,
+                         acq_raw_samples=32, acq_topk=2, acq_steps=5)
+    res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
+                       meta_fit_restarts=1, meta_fit_steps=15)
+    reg = np.asarray(simple_regret(res.y_clean, optima))
+    assert reg.shape == (2, 4)
+    assert np.isfinite(reg).all()
+
+
+def test_scamlgpbo_fit_method_vi(rng):
+    """Sequential driver with fit_method='vi' runs a short BO loop and
+    exposes the mixture predictive through predict()."""
+    from scamlgp_tpu.bo.core import Evaluation, Objective
+    from scamlgp_tpu.bo.optimizer import ScaMLGPBO
+    from scamlgp_tpu.bo.space import ContinuousParameter, ParameterSpace
+
+    space = ParameterSpace()
+    space.add(ContinuousParameter("x", (0.0, 1.0)))
+
+    def f(x):
+        return float((x - 0.3) ** 2)
+
+    meta = {}
+    for t, shift in enumerate([0.25, 0.35]):
+        evals = []
+        for u in np.linspace(0.05, 0.95, 8):
+            evals.append(Evaluation(configuration={"x": float(u)},
+                                    objectives={"loss": float(
+                                        (u - shift) ** 2)}))
+        meta[f"t{t}"] = evals
+
+    opt = ScaMLGPBO(space, Objective("loss", False), meta, seed=0,
+                    fit_method="vi",
+                    vi_kwargs={"num_steps": 40, "num_mc": 4,
+                               "mixture_samples": 4},
+                    num_restarts_log_likelihood=1, num_fit_steps=15,
+                    af_optimizer_kwargs={"raw_samples": 32,
+                                         "num_restarts": 2,
+                                         "num_steps": 5})
+    for _ in range(3):
+        spec = opt.generate_evaluation_specification()
+        x = spec.configuration["x"]
+        opt.report(Evaluation(configuration=spec.configuration,
+                              objectives={"loss": f(x)}))
+    assert opt._hyper_samples is not None
+    mean, var = opt.predict([{"x": 0.3}, {"x": 0.9}])
+    assert np.isfinite(np.asarray(mean)).all()
+    assert np.all(np.asarray(var) >= 0.0)
