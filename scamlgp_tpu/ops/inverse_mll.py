@@ -20,8 +20,12 @@ Forward inverse routing (all decisions static at trace time):
 
 - N <= 128 and the VMEM sweep fits: elementary sweep kernel
   (``pallas_sweep.py``);
-- 192 <= N <= ~768: MXU-tiled blocked Cholesky (``pallas_blocked_chol.py``);
-- otherwise: XLA Cholesky-based inverse.
+- otherwise: not profitable — callers fall back to ``linalg.mll`` (direct
+  XLA Cholesky MLL with AD), the measured winner for every N > 128 now
+  that the backward pass no longer needs an explicit inverse
+  (r4 crossover tables: docs/SWEEP_N_r4.json, docs/SWEEP_N_r4_pinned.json;
+  the blocked Cholesky kernel stays available via
+  ``pallas_blocked_chol.blocked_chol_inverse``).
 """
 
 from __future__ import annotations

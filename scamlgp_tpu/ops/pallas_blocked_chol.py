@@ -1,10 +1,14 @@
 """Batched SPD inverse + log-determinant via MXU-tiled blocked Cholesky.
 
-The mid-N factorization kernel (N in roughly [192, 768]) between the
-VMEM-resident elementary sweep (``pallas_sweep.py``, N <= 128) and the XLA
-fallback.  Replaces the reference's torch/LAPACK Cholesky at the N=256/512
-grid scales (``/root/reference/scamlgp/utils.py:175-192``;
-``hartmann6_ablation_num_points_per_task.py:17-18`` needs N=512).
+A mid-N factorization kernel (N in roughly [192, 1024]) producing an
+explicit inverse, complementing the VMEM-resident elementary sweep
+(``pallas_sweep.py``, N <= 128).  Historically the routing choice for the
+N=256/512 grid scales (``/root/reference/scamlgp/utils.py:175-192``;
+``hartmann6_ablation_num_points_per_task.py:17-18`` needs N=512); since the
+analytic MLL-level VJP landed (``ops/inverse_mll.py``), direct XLA Cholesky
+MLL measures faster across this whole range and default routing no longer
+selects it (see ``_ROUTE_BLOCKED``) — the kernel remains the fast path for
+callers that need the materialized inverse itself.
 
 Design (per (G, N, N) grid cell, everything VMEM-resident):
 
@@ -48,11 +52,26 @@ DEFAULT_G = 8
 #: headroom — a model-estimated 9.5 MB keeps the real allocation < 16 MB.
 _VMEM_BUDGET = 9_500_000
 
-#: N range where this kernel is the measured winner on v5e; outside it the
-#: sweep (below) / XLA (above) paths win — see ops/pallas_sweep.py table
-#: and docs/VALIDATION.md
+#: The HBM-staged variant has NO pipeline buffers (one manual-DMA scratch +
+#: the live block values), so the measured-overhead headroom above does not
+#: apply to it; its own budget restores coverage to N ~ 1024
+#: (model-estimated 11.4 MB at N=1024) — ADVICE r3 medium finding.
+_VMEM_BUDGET_STAGED = 12_000_000
+
+#: N range where the kernel can run efficiently; see ``blocked_profitable``
+#: for whether routing actually selects it
 _MIN_N = 192
 _MAX_N = 1024
+
+#: Routing default.  With the analytic MLL-level VJP (ops/inverse_mll.py)
+#: the backward pass no longer needs an explicit inverse, and re-measured
+#: crossovers (docs/SWEEP_N_r4.json, docs/SWEEP_N_r4_pinned.json, v5e)
+#: show direct XLA Cholesky MLL beating this kernel across its whole range:
+#: N=256 XLA 14.5k vs blocked 12.8k evals/s; N=512 6.0k vs 5.3k; N=1024
+#: 2.22k vs 2.25k (tie).  Default routing therefore never selects it; the
+#: kernel remains available explicitly (``blocked_chol_inverse``) for
+#: callers that want the materialized inverse itself.
+_ROUTE_BLOCKED = False
 
 
 def _interpret() -> bool:
@@ -76,18 +95,26 @@ def _choose_g(B: int, N: int, itemsize: int) -> int:
 
 def _hbm_staged_fits(N: int, itemsize: int) -> bool:
     """Whether the single-scratch HBM-resident variant fits VMEM: one
-    (N, N) scratch + the live block values."""
+    (N, N) scratch + the live block values (no pipeline buffers, hence the
+    larger budget)."""
     npad = -(-N // BS) * BS
     need = npad * npad * itemsize + _block_values_bytes(N, itemsize)
-    return need <= _VMEM_BUDGET
+    return need <= _VMEM_BUDGET_STAGED
 
 
-def blocked_profitable(N: int, itemsize: int = 4) -> bool:
-    """Whether one of the blocked-kernel variants beats both the sweep and
-    XLA at this N (measured on v5e — scripts/bench_sweep_n.py)."""
+def blocked_runnable(N: int, itemsize: int = 4) -> bool:
+    """Whether some blocked-kernel variant can execute at this N within
+    VMEM (capability, not preference)."""
     if not (_MIN_N <= N <= _MAX_N):
         return False
     return _choose_g(1, N, itemsize) >= 1 or _hbm_staged_fits(N, itemsize)
+
+
+def blocked_profitable(N: int, itemsize: int = 4) -> bool:
+    """Whether default routing should pick a blocked-kernel variant over
+    direct XLA Cholesky MLL at this N.  Measured answer on v5e with the
+    analytic VJP: never (see ``_ROUTE_BLOCKED``)."""
+    return _ROUTE_BLOCKED and blocked_runnable(N, itemsize)
 
 
 def _chol_block(P, row, lane, dtype):

@@ -48,7 +48,15 @@ def build_meta(M, N, seed=0):
     return m.pack_task_data(xs, ys, dtype=jnp.float32)
 
 
-def time_fit(fit_fn, *args, repeats=3):
+def time_fit(fit_fn, *args, repeats=3, inner=10):
+    """Median wall time of one fit dispatch.
+
+    Each repeat issues ``inner`` back-to-back dispatches and blocks on the
+    last — at small M x N the fit program is sub-millisecond on a chip, so
+    a single dispatch measures only host->device latency; amortizing over a
+    burst gives the sustained per-fit time (first MANY_TASKS artifact
+    rounded to 0.0 s for exactly this reason).
+    """
     import jax
 
     out = fit_fn(*args)          # compile
@@ -56,9 +64,10 @@ def time_fit(fit_fn, *args, repeats=3):
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fit_fn(*args)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out.params)[0])
-        times.append(time.perf_counter() - t0)
+        for _ in range(inner):
+            out = fit_fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / inner)
     return out, sorted(times)[len(times) // 2]
 
 
@@ -105,7 +114,7 @@ def main():
                                          num_steps=args.steps)
 
         single, t_single = time_fit(fit_single)
-        row["single_chip_s"] = round(t_single, 3)
+        row["single_chip_s"] = round(t_single, 6)
         row["tasks_per_s"] = round(M / t_single, 1)
 
         if args.sharded:

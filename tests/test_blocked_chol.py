@@ -90,12 +90,16 @@ def test_mll_via_inverse_matches_chol_value_and_grad(rng):
                                rtol=1e-8, atol=1e-10)
 
 
-def test_gp_mll_sweep_method_routes_blocked():
-    """gp.mll(method='sweep') at a blocked-kernel N must equal the chol
-    path (interpret mode, f32 data).  Seed pinned: the f32 grad comparison
+def test_gp_mll_sweep_method_routes_blocked(monkeypatch):
+    """gp.mll(method='sweep') with blocked routing forced at N=256 must
+    equal the chol path (interpret mode, f32 data).  Routing no longer
+    selects the blocked kernel by default (r4 crossovers — XLA wins with
+    the analytic VJP), so the route is forced here to keep the blocked
+    value/grad path pinned.  Seed pinned: the f32 grad comparison
     tolerance assumes a typically-conditioned instance."""
     rng = np.random.default_rng(7)
     n, d = 256, 3
+    monkeypatch.setattr(pbc, "_ROUTE_BLOCKED", True)
     assert pbc.blocked_profitable(n)
     cfg = gp.source_gp_config()
     X = jnp.asarray(rng.uniform(size=(n, d)).astype(np.float32))
@@ -154,12 +158,20 @@ def test_gp_mll_chol64_island_beats_f32_accuracy(rng):
 
 
 def test_inverse_mll_profitability_routing():
+    # sweep range: Pallas inverse + analytic VJP wins
     assert inverse_mll.inverse_mll_profitable(64)
     assert inverse_mll.inverse_mll_profitable(128)
-    assert inverse_mll.inverse_mll_profitable(256)
-    assert inverse_mll.inverse_mll_profitable(512)
-    # far beyond any VMEM-resident kernel -> not profitable (linalg.mll)
+    # above it, direct XLA Cholesky MLL is the measured winner (r4
+    # crossover tables) -> not profitable, callers use linalg.mll
+    assert not inverse_mll.inverse_mll_profitable(256)
+    assert not inverse_mll.inverse_mll_profitable(512)
     assert not inverse_mll.inverse_mll_profitable(4096)
+    # the blocked kernel itself can still RUN through N ~ 1024 (explicit
+    # capability incl. the HBM-staged variant with its pipeline-free
+    # budget — ADVICE r3)
+    assert pbc.blocked_runnable(256)
+    assert pbc.blocked_runnable(1024)
+    assert not pbc.blocked_runnable(2048)
 
 
 def test_hbm_staged_variant_matches_numpy(rng, monkeypatch):
