@@ -255,6 +255,21 @@ def _out_transform(stack, ybuf, mask):
     return out_mean, out_std
 
 
+def _auto_study_chunk(S: int, N: int, backend: str, has_mesh: bool,
+                      loop: str) -> int:
+    """Default study-chunk size (0 = no chunking).
+
+    The axon TPU backend faults (infra-level UNAVAILABLE kernel fault) on
+    single lock-step campaign programs past ~8 studies at N >= 256
+    (bisected round 3, commit 5c8a7ba), so large-N campaigns on a single
+    chip run as sequential chunks of 8.  Meshes shard the study axis
+    already; the device loop compiles one program per study anyway.
+    """
+    if backend == "tpu" and N >= 256 and not has_mesh and loop == "host":
+        return 8
+    return 0
+
+
 def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                  key, source_cfg: Optional[gp.GPConfig] = None,
                  target_cfg: Optional[gp.GPConfig] = None,
@@ -264,7 +279,8 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                  loop: str = "host", mesh=None,
                  checkpoint_path=None,
                  checkpoint_every: int = 10,
-                 stop_after: Optional[int] = None) -> CampaignResult:
+                 stop_after: Optional[int] = None,
+                 study_chunk: Optional[int] = None) -> CampaignResult:
     """Run S studies in lock-step on device.
 
     Args:
@@ -303,6 +319,14 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
         stop_after: host-loop only — checkpoint and return after this many
             iterations (pre-emption drill / incremental execution; resume by
             calling again with the same ``checkpoint_path``).
+        study_chunk: host-loop, single-device only — run the BO loop over
+            sequential study chunks of at most this size instead of one
+            S-wide lock-step program.  ``None`` (default) auto-enables
+            chunks of 8 on the TPU backend when N >= 256
+            (``_auto_study_chunk`` — the axon fault guard, so
+            ``configurations/*.py submit`` is safe at every grid point);
+            0 disables.  Chunks slice the globally pre-split study keys,
+            so results are bit-identical to the unchunked program.
     """
     if cfg.fit_method not in ("map", "hmc", "nuts", "vi"):
         raise ValueError(f"Unknown fit_method {cfg.fit_method!r}")
@@ -365,6 +389,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
              cnt) = ckpt.load_pytree_like(checkpoint_path, tpl)
             _resume = (Xb0, yb0, yc0, mk0, p0, sk0)
             start = int(cnt)
+            _resume_done = jnp.sum(mk0, axis=1)
 
     # ---- meta-fit: fold (study, task) into one big task axis, fit once ----
     from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
@@ -664,8 +689,82 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                 (task_params, meta_data, Xbuf, ybuf, yclean, mask, params,
                  study_keys, jnp.asarray(0, jnp.int32)))
 
+    if study_chunk is None:
+        study_chunk = _auto_study_chunk(S, N, jax.default_backend(),
+                                        study_sh is not None, loop)
+    chunked = bool(study_chunk) and study_chunk < S and study_sh is None
+
     import os as _os
     _iter_debug = _os.environ.get("SCAMLGP_ITER_DEBUG") == "1"
+
+    if chunked:
+        # Sequential fixed-size study chunks (axon fault guard, see
+        # _auto_study_chunk).  The jitted iteration, the study keys and all
+        # buffers are simply sliced per chunk — identical math, smaller
+        # programs.  Checkpoints store the FULL buffers; per-chunk progress
+        # is derived from the MASK (iterations completed = ones per study,
+        # lock-step within a chunk), which is valid regardless of whether
+        # the checkpoint was written chunked or unchunked.
+        if stop_after is not None:
+            raise ValueError("stop_after is not supported with "
+                             "study chunking")
+        n_chunks = -(-S // study_chunk)
+        logging.getLogger("scamlgp_tpu").warning(
+            "run_campaign: study-chunking %d studies into %d sequential "
+            "chunks of <= %d (backend=%s, N=%d)",
+            S, n_chunks, study_chunk, jax.default_backend(), N)
+        import numpy as _np
+
+        done_per_study = _np.asarray(jnp.sum(mask, axis=1), _np.int64)
+        for c in range(n_chunks):
+            c0, c1 = c * study_chunk, min((c + 1) * study_chunk, S)
+
+            def sl(tree):
+                return jax.tree_util.tree_map(lambda l: l[c0:c1], tree)
+
+            i0 = int(done_per_study[c0:c1].min())
+            if i0 >= E:
+                continue
+            st_c, tp_c, pr = sl(stacks), sl(task_params), sl(params)
+            Xb, yb, yc, mk = (Xbuf[c0:c1], ybuf[c0:c1], yclean[c0:c1],
+                              mask[c0:c1])
+            ks = study_keys[c0:c1]
+            for i in range(i0, E):
+                with GLOBAL_TIMER("campaign_iteration"):
+                    Xb, yb, yc, mk, pr, ks = iteration(
+                        st_c, tp_c, Xb, yb, yc, mk, pr, ks, i)
+                    jax.block_until_ready(yb)
+            Xbuf = Xbuf.at[c0:c1].set(Xb)
+            ybuf = ybuf.at[c0:c1].set(yb)
+            yclean = yclean.at[c0:c1].set(yc)
+            mask = mask.at[c0:c1].set(mk)
+            params = jax.tree_util.tree_map(
+                lambda full, part: full.at[c0:c1].set(part), params, pr)
+            study_keys = study_keys.at[c0:c1].set(ks)
+            if checkpoint_path is not None:
+                # counter = min completed iterations across all studies
+                # (informational; chunked resume trusts the mask)
+                cnt = int(jnp.sum(mask, axis=1).min())
+                ckpt.save_pytree(
+                    checkpoint_path,
+                    (task_params, meta_data, Xbuf, ybuf, yclean, mask,
+                     params, study_keys, jnp.asarray(cnt, jnp.int32)))
+        GLOBAL_TIMER.log(logging.DEBUG)
+        return CampaignResult(X=Xbuf[:S_real], y=ybuf[:S_real],
+                              y_clean=yclean[:S_real])
+
+    if _resume is not None:
+        # an unchunked continuation assumes every study is at the same
+        # iteration; a checkpoint written mid-way by a CHUNKED run is not
+        # (later chunks lag) and must resume chunked
+        import numpy as _np
+
+        uneven = _np.unique(_np.asarray(_resume_done)).size > 1
+        if uneven:
+            raise ValueError(
+                "checkpoint has per-study progress at different iterations "
+                "(written by a study-chunked campaign); resume with the "
+                "same study_chunk setting instead of study_chunk=0")
     for i in range(start, E):
         with GLOBAL_TIMER("campaign_iteration"):
             _t0 = __import__("time").perf_counter()

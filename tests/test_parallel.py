@@ -183,6 +183,98 @@ def test_campaign_checkpoint_resume_matches_uninterrupted(tmp_path):
                                np.asarray(res_full.y_clean), rtol=1e-8)
 
 
+def test_auto_study_chunk_decision():
+    """The axon fault guard triggers exactly on TPU, host loop, no mesh,
+    N >= 256 (VERDICT r3 weak 3: configurations submit must be safe at
+    every grid point)."""
+    from scamlgp_tpu.parallel.campaign import _auto_study_chunk
+
+    assert _auto_study_chunk(128, 256, "tpu", False, "host") == 8
+    assert _auto_study_chunk(128, 512, "tpu", False, "host") == 8
+    assert _auto_study_chunk(128, 128, "tpu", False, "host") == 0
+    assert _auto_study_chunk(128, 256, "cpu", False, "host") == 0
+    assert _auto_study_chunk(128, 256, "tpu", True, "host") == 0
+    assert _auto_study_chunk(128, 256, "tpu", False, "device") == 0
+
+
+def test_chunked_campaign_bit_identical_and_resumable(tmp_path):
+    """study_chunk splits the BO loop into sequential programs that must be
+    BIT-identical to the unchunked campaign (chunks slice the same global
+    study keys), and a chunked checkpoint must resume chunk-aware while an
+    unchunked resume of it is rejected."""
+    from scamlgp_tpu.benchmarking.benchmarks import Quadratic
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_inputs_from_benchmark,
+    )
+    from scamlgp_tpu.parallel.campaign import CampaignConfig, run_campaign
+    from scamlgp_tpu.utils import checkpoint as ckpt
+
+    fn, tps, md, optima = campaign_inputs_from_benchmark(
+        Quadratic, [8] * 2, study_seeds=[0, 1, 2, 3], noise_std=0.05)
+    cfg = CampaignConfig(n_evaluations=3, noise_std=0.05, fit_steps=10,
+                         fit_restarts=1, acq_raw_samples=32, acq_topk=2,
+                         acq_steps=5)
+    kw = dict(cfg=cfg, meta_fit_restarts=1, meta_fit_steps=8)
+    res_full = run_campaign(fn, tps, md, jax.random.PRNGKey(0), **kw)
+    res_chunk = run_campaign(fn, tps, md, jax.random.PRNGKey(0),
+                             study_chunk=2, **kw)
+    np.testing.assert_array_equal(np.asarray(res_chunk.X),
+                                  np.asarray(res_full.X))
+    np.testing.assert_array_equal(np.asarray(res_chunk.y_clean),
+                                  np.asarray(res_full.y_clean))
+
+    # chunked + checkpointed run; then build a "fault after chunk 1" state
+    # by zeroing the second chunk's progress and verify chunk-aware resume
+    path = tmp_path / "chunked_ckpt"
+    res_ck = run_campaign(fn, tps, md, jax.random.PRNGKey(0),
+                          study_chunk=2, checkpoint_path=path, **kw)
+    import jax as _jax
+
+    # load raw state, wipe studies 2-3 back to zero progress, re-save
+    state = ckpt.load_pytree_like(
+        path, (tps, md,
+               jnp.zeros_like(jnp.asarray(res_ck.X)),
+               jnp.zeros_like(jnp.asarray(res_ck.y)),
+               jnp.zeros_like(jnp.asarray(res_ck.y_clean)),
+               jnp.zeros_like(jnp.asarray(res_ck.y)),
+               _jax.vmap(lambda _: m.init_target_params(
+                   gp.target_gp_config(), 2, 1, jnp.asarray(res_ck.X).dtype)
+               )(jnp.arange(4)),
+               _jax.random.split(jax.random.PRNGKey(0), 4),
+               jnp.zeros((), jnp.int32)))
+    (tp0, md0, Xb, yb, yc, mk, pr, ks, cnt) = state
+    mk = mk.at[2:].set(0.0)
+    Xb = Xb.at[2:].set(0.0)
+    yb = yb.at[2:].set(0.0)
+    yc = yc.at[2:].set(0.0)
+    # pending chunks must also carry their PRISTINE initial params/keys for
+    # bit-identical resume
+    init_pr = _jax.vmap(lambda _: m.init_target_params(
+        gp.target_gp_config(), 2, 1, jnp.asarray(res_ck.X).dtype))(
+            jnp.arange(2))
+    pr = _jax.tree_util.tree_map(lambda full, ini: full.at[2:].set(ini),
+                                 pr, init_pr)
+    # pristine per-study keys: run_campaign splits the master key once for
+    # the meta-fit, then fans the first half out over studies
+    pristine = _jax.random.split(
+        _jax.random.split(jax.random.PRNGKey(0))[0], 4)
+    ks = ks.at[2:].set(pristine[2:])
+    ckpt.save_pytree(path, (tp0, md0, Xb, yb, yc, mk, pr, ks,
+                            jnp.asarray(0, jnp.int32)))
+
+    res_resumed = run_campaign(fn, tps, md, jax.random.PRNGKey(0),
+                               study_chunk=2, checkpoint_path=path, **kw)
+    np.testing.assert_array_equal(np.asarray(res_resumed.y_clean),
+                                  np.asarray(res_full.y_clean))
+
+    # unchunked resume of the uneven state must refuse, not corrupt
+    ckpt.save_pytree(path, (tp0, md0, Xb, yb, yc, mk, pr, ks,
+                            jnp.asarray(0, jnp.int32)))
+    with pytest.raises(ValueError, match="study-chunked"):
+        run_campaign(fn, tps, md, jax.random.PRNGKey(0), study_chunk=0,
+                     checkpoint_path=path, **kw)
+
+
 def test_campaign_hmc_mode_reduces_regret():
     """fit_method='hmc': posterior-marginalized acquisition inside the
     vectorized campaign (campaign analogue of ScaMLGPBO(fit_method='hmc'))."""
