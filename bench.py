@@ -35,6 +35,25 @@ D = 6          # input dim
 TIMED_ROUNDS = 30
 CPU_B = 256    # torch baseline batch (throughput is per-eval normalized)
 
+#: v5e per-chip peak dense-matmul throughput (bf16).  Used as the MFU
+#: denominator — deliberately the OPTIMISTIC bound: the sweep-inverse
+#: value+grad is mostly VPU rank-1 updates, not MXU matmuls, so true
+#: attainable is far below this (see docs/VALIDATION.md roofline section).
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def flops_per_eval(N=N, D=D, method="sweep"):
+    """Executed-FLOP model for one MLL value+grad (one batched GP).
+
+    sweep path: ARD gram assembly ~2 N^2 D, Gauss-Jordan inverse 2 N^3
+    (N rank-1 updates of the full matrix), alpha/quad ~2 N^2, analytic
+    backward = outer product + scaling ~3 N^2, gram VJP ~3 N^2 D.
+    chol path: Cholesky N^3/3 + solves ~2 N^2 + AD backward ~2x forward.
+    """
+    if method == "sweep":
+        return 2 * N**3 + 5 * N**2 * D + 8 * N**2
+    return 3 * (N**3 / 3 + 2 * N**2 + 2 * N**2 * D)
+
 
 def tpu_throughput(B=B, N=N, rounds=TIMED_ROUNDS):
     import jax
@@ -135,11 +154,17 @@ def main():
     except Exception:
         cpu = None
     vs = (tpu / cpu) if cpu else None
+    fpe = flops_per_eval()
+    achieved = tpu * fpe
     print(json.dumps({
         "metric": "batched_mll_cholesky_evals_per_s_per_chip",
         "value": round(tpu, 2),
         "unit": f"evals/s (B={B}, N={N}, D={D}, f32, value+grad, chained)",
         "vs_baseline": round(vs, 3) if vs else None,
+        "flops_per_eval_model": int(fpe),
+        "achieved_tflops": round(achieved / 1e12, 4),
+        "mfu_bf16_peak_pct": round(100.0 * achieved / V5E_BF16_PEAK_FLOPS,
+                                   3),
         "large_n": ({"B": 256, "N": 512,
                      "evals_per_s": round(large_n, 2)}
                     if large_n else None),
