@@ -21,12 +21,17 @@ DOCS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs")
 
 PANELS = [
-    # (title, xlabel, main artifact, [tail artifacts])
+    # (title, xlabel, main artifact, [tail artifacts — later files win on
+    # value collision, so reference-scale 128-study re-runs take precedence
+    # over the 16-study rows when present])
     ("Branin", "Num. meta-tasks ($M$)",
-     "branin_ablation_tasks_tpu.json", ["branin_ablation_tasks_m64_tpu.json"]),
+     "branin_ablation_tasks_tpu.json",
+     ["branin_ablation_tasks_m64_tpu.json",
+      "branin_ablation_tasks_tpu_s128.json"]),
     ("Branin", "Num. obs. per task ($N_m$)",
      "branin_ablation_points_tpu.json",
-     ["branin_ablation_points_n256_tpu.json"]),
+     ["branin_ablation_points_n256_tpu.json",
+      "branin_ablation_points_tpu_s128.json"]),
     ("Hartmann 6D", "Num. meta-tasks ($M$)",
      "hm6_ablation_tasks_tpu.json", []),
     ("Hartmann 6D", "Num. obs. per task ($N_m$)",
@@ -62,6 +67,7 @@ def main():
                             sharex="col")
 
     drew = 0
+    col_xs = {}
     for ax, (title, xlabel, main_f, tails) in zip(axs.flatten(), PANELS):
         rows = load_rows(main_f, tails)
         ax.set_title(title, fontsize=9)
@@ -77,10 +83,19 @@ def main():
         es = [r["avg_cum_regret_sem"] for r in rows]
         ax.errorbar(xs, ys, yerr=es, marker="o", markersize=3,
                     linewidth=1.2, capsize=2, label="ScaML-GP (TPU)")
-        ax.set_xticks(xs)
-        ax.set_xticklabels([str(x) for x in xs], fontsize=7)
         ax.minorticks_off()
+        col_xs.setdefault(list(axs.flatten()).index(ax) % 2, set()).update(xs)
         drew += 1
+
+    # sharex='col': per-panel set_xticks calls would overwrite each other
+    # (last panel wins, dropping tick labels for values only the other
+    # panel has — ADVICE r3) -> set each column's ticks to the union
+    for col, xs_union in col_xs.items():
+        xs_sorted = sorted(xs_union)
+        for ax in axs[:, col]:
+            ax.set_xticks(xs_sorted)
+            ax.set_xticklabels([str(x) for x in xs_sorted], fontsize=7)
+            ax.minorticks_off()
 
     axs[0, 0].set_ylabel("Cum. regret")
     axs[1, 0].set_ylabel("Cum. regret")
