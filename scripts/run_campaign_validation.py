@@ -39,6 +39,10 @@ def main():
                     choices=["chol", "sweep", "chol64"],
                     help="'sweep' routes every fit MLL through the Pallas "
                          "inverse kernels (analytic VJP)")
+    ap.add_argument("--acq-budget", default="standard",
+                    choices=["standard", "driver"],
+                    help="acquisition budget: campaign defaults (256/4/30) "
+                         "or the sequential driver's (1024/8/50)")
     ap.add_argument("--optimum-method", default="shgo",
                     choices=["shgo", "device"],
                     help="'device': on-device multi-start minima instead of "
@@ -114,9 +118,15 @@ def main():
 
         mesh = make_mesh(study=len(jax.devices()), task=1)
 
+    budget = {}
+    if args.acq_budget == "driver":
+        # the sequential driver's heavier acquisition settings
+        # (bo/optimize.py defaults: sobol-1024 raw, 8 restarts, 50 steps) —
+        # isolates the campaign's lighter default budget (VERDICT r3 weak 5)
+        budget = dict(acq_raw_samples=1024, acq_topk=8, acq_steps=50)
     cfg = CampaignConfig(n_evaluations=args.evals, noise_std=args.sigma,
                          fit_method=args.fit_method,
-                         mll_method=args.mll_method)
+                         mll_method=args.mll_method, **budget)
     t0 = time.time()
     res = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg,
                        loop=args.loop, mesh=mesh,
