@@ -43,7 +43,6 @@ def main():
     import jax.numpy as jnp
 
     from scamlgp_tpu.models import gp
-    from scamlgp_tpu.ops import linalg
 
     cfg = gp.source_gp_config()
     rng = np.random.default_rng(0)
