@@ -83,6 +83,9 @@ def main():
                     help="also run the task-sharded mesh leg")
     ap.add_argument("--campaign", action="store_true",
                     help="also run a short M=128 end-to-end campaign")
+    ap.add_argument("--inner", type=int, default=10,
+                    help="dispatches per timing repeat (1 for slow CPU "
+                         "parity runs where timing is secondary)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -113,7 +116,7 @@ def main():
                                          num_restarts=args.restarts,
                                          num_steps=args.steps)
 
-        single, t_single = time_fit(fit_single)
+        single, t_single = time_fit(fit_single, inner=args.inner)
         row["single_chip_s"] = round(t_single, 6)
         row["tasks_per_s"] = round(M / t_single, 1)
 
@@ -130,7 +133,7 @@ def main():
                                            num_restarts=args.restarts,
                                            num_steps=args.steps)
 
-            sharded, t_shard = time_fit(fit_shard)
+            sharded, t_shard = time_fit(fit_shard, inner=args.inner)
             row["sharded_s"] = round(t_shard, 3)
             # parity at the level that matters: the achieved per-task MAP
             # objective (f32 L-BFGS trajectories diverge in raw-parameter
