@@ -1,3 +1,3 @@
-from scamlgp_tpu.models import fit, gp, hmc, scamlgp
+from scamlgp_tpu.models import fit, gp, hmc, scamlgp, vi
 
-__all__ = ["fit", "gp", "hmc", "scamlgp"]
+__all__ = ["fit", "gp", "hmc", "scamlgp", "vi"]
