@@ -42,6 +42,12 @@ DEFAULT_G = 8
 #: Mosaic scratch — 12 MB of A blocks keeps headroom.
 _VMEM_BUDGET = 12 * 1024 * 1024
 
+#: rank-2 serial step (_sweep_kernel_pair): two pivots per fori_loop trip —
+#: one bulk FMA traversal and two nested-select traversals per PAIR instead
+#: of per pivot.  Flipped on/off by the measured A/B at the headline shape
+#: (scripts/bench_sweep_n.py variant 'pair').
+_PAIR_STEP = False
+
 #: above this N, the direct XLA Cholesky MLL wins and callers should not use
 #: the sweep at all.  Measured on v5e (value+grad MLL evals/s,
 #: scripts/bench_sweep_n.py):
@@ -117,6 +123,88 @@ def _sweep_kernel(a_ref, inv_ref, logdet_ref):
         return A, logdet
 
     A, logdet = jax.lax.fori_loop(0, N, step,
+                                  (A0, jnp.zeros((G, 1), A0.dtype)))
+    inv_ref[:] = -A
+    logdet_ref[:] = logdet
+
+
+def _sweep_kernel_pair(a_ref, inv_ref, logdet_ref):
+    """Two pivots per serial step (rank-2 sweep).
+
+    Halves the fori_loop trip count of the elementary kernel: the second
+    pivot's column/row are reconstructed from the first pivot's borders
+    with O(N) arithmetic (no intermediate full-matrix state), then both
+    rank-1 updates land in ONE bulk FMA traversal and the four border
+    fix-ups in two nested-select traversals.  Exactly equivalent to two
+    elementary sweep steps (pinned by tests/test_sweep.py); requires even
+    N (caller guarantees).
+
+    Derivation of the second-pivot borders (p = 2k, q = 2k+1, values taken
+    from A BEFORE the pair): with cd_p = col_p/d_p and rpq = row_p[q],
+
+        col_q' = col_q - cd_p*rpq + e_p*(rpq/d_p)        (post-p column q)
+        row_q' = row_q - cd_p[q]*row_p + e_p^T*cd_p[q]   (post-p row q)
+        d_q'   = d_q - cd_p[q]*rpq
+
+    and the final borders after both sweeps:
+
+        col_p'' = cd_p - cd_q*cd_p[q]       (rows outside {p, q})
+        row_p'' = row_p^fix - cd_q[p]*row_q' + e_q^T*cd_q[p]
+        col_q'' = cd_q,  row_q'' = row_q'^fix
+    """
+    G, N, _ = a_ref.shape
+    A0 = a_ref[:]
+
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)
+
+    def step(kk, carry):
+        A, logdet = carry
+        p = 2 * kk
+        q = p + 1
+        el_p = (col_idx == p).astype(A.dtype)            # (1, 1, N)
+        es_p = (row_idx == p).astype(A.dtype)            # (1, N, 1)
+        el_q = (col_idx == q).astype(A.dtype)
+        es_q = (row_idx == q).astype(A.dtype)
+        is_lp, is_sp = col_idx == p, row_idx == p
+        is_lq, is_sq = col_idx == q, row_idx == q
+
+        col_p = jnp.sum(A * el_p, axis=2, keepdims=True)   # (G, N, 1)
+        col_q = jnp.sum(A * el_q, axis=2, keepdims=True)
+        row_p = jnp.sum(A * es_p, axis=1, keepdims=True)   # (G, 1, N)
+        row_q = jnp.sum(A * es_q, axis=1, keepdims=True)
+
+        d_p = jnp.sum(row_p * el_p, axis=2, keepdims=True)  # (G, 1, 1)
+        rpq = jnp.sum(row_p * el_q, axis=2, keepdims=True)
+        inv_dp = 1.0 / d_p
+        cd_p = col_p * inv_dp                               # (G, N, 1)
+        cdpq = jnp.sum(cd_p * es_q, axis=1, keepdims=True)  # (G, 1, 1)
+
+        # post-p borders of pivot q (O(N) work)
+        col_q1 = col_q - cd_p * rpq + es_p * (rpq * inv_dp)
+        row_q1 = row_q - cdpq * row_p + el_p * cdpq
+        d_q1 = jnp.sum(row_q1 * el_q, axis=2, keepdims=True)
+        inv_dq = 1.0 / d_q1
+        cd_q = col_q1 * inv_dq                              # (G, N, 1)
+        cdqp = jnp.sum(cd_q * es_p, axis=1, keepdims=True)  # (G, 1, 1)
+
+        # final border values
+        row_p_fix = row_p * inv_dp - el_p * (inv_dp + 1.0)
+        row_q_fix = row_q1 * inv_dq - el_q * (inv_dq + 1.0)
+        row_p_fin = row_p_fix - cdqp * row_q1 + el_q * cdqp
+        col_p_fin = cd_p - cd_q * cdpq
+
+        # one bulk rank-2 FMA traversal + two nested-select traversals
+        A = A - cd_p * row_p - cd_q * row_q1
+        A = jnp.where(is_lp, jnp.broadcast_to(col_p_fin, A.shape),
+                      jnp.where(is_lq, jnp.broadcast_to(cd_q, A.shape), A))
+        A = jnp.where(is_sp, jnp.broadcast_to(row_p_fin, A.shape),
+                      jnp.where(is_sq, jnp.broadcast_to(row_q_fix, A.shape),
+                                A))
+        logdet = logdet + jnp.log(d_p[:, :, 0]) + jnp.log(d_q1[:, :, 0])
+        return A, logdet
+
+    A, logdet = jax.lax.fori_loop(0, N // 2, step,
                                   (A0, jnp.zeros((G, 1), A0.dtype)))
     inv_ref[:] = -A
     logdet_ref[:] = logdet
@@ -259,9 +347,15 @@ def _sweep_inverse_impl(A):
     Bp = Ap.shape[0]
     # The elementary (VPU rank-1) sweep is the production kernel; the
     # blocked (MXU rank-BLOCK) variant measured slower at every shape tried
-    # on v5e (see the threshold table above) and stays opt-in.
+    # on v5e (see the threshold table above) and stays opt-in.  The pair
+    # (rank-2) variant halves the serial trip count (see _PAIR_STEP).
     use_blocked = N >= _BLOCKED_MIN_N and N % BLOCK == 0
-    kernel = _sweep_kernel_blocked if use_blocked else _sweep_kernel
+    if use_blocked:
+        kernel = _sweep_kernel_blocked
+    elif _PAIR_STEP and N % 2 == 0:
+        kernel = _sweep_kernel_pair
+    else:
+        kernel = _sweep_kernel
     inv, logdet = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((Bp, N, N), A.dtype),

@@ -68,10 +68,15 @@ def bench_variant(B, N, variant, rounds=10, pin_noise=False):
 
     # select the kernel variant by overriding the module thresholds
     saved = (ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N, ps._VMEM_BUDGET,
-             pbc._MIN_N, pbc._MAX_N)
+             ps._PAIR_STEP, pbc._MIN_N, pbc._MAX_N)
     saved_profitable = inverse_mll.inverse_mll_profitable
     if variant == "elementary":
         ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N = 10**9, 10**9
+        pbc._MIN_N = 10**9
+        method = "sweep"
+    elif variant == "pair":
+        ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N = 10**9, 10**9
+        ps._PAIR_STEP = True
         pbc._MIN_N = 10**9
         method = "sweep"
     elif variant == "blocked":
@@ -120,7 +125,7 @@ def bench_variant(B, N, variant, rounds=10, pin_noise=False):
         return None, type(e).__name__ + ": " + str(e)[:200]
     finally:
         (ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N, ps._VMEM_BUDGET,
-         pbc._MIN_N, pbc._MAX_N) = saved
+         ps._PAIR_STEP, pbc._MIN_N, pbc._MAX_N) = saved
         inverse_mll.inverse_mll_profitable = saved_profitable
 
 
