@@ -48,6 +48,21 @@ def test_sweep_kernel_matches_numpy(rng):
                                atol=1e-4)
 
 
+def test_pair_sweep_kernel_matches_elementary(rng):
+    """The rank-2 (two-pivots-per-trip) kernel is algebraically two
+    elementary sweep steps — results must agree to roundoff, and match
+    numpy."""
+    A = _spd_batch(rng, 8, 32)
+    inv1, ld1 = _run_kernel(ps._sweep_kernel, A, 4)
+    inv2, ld2 = _run_kernel(ps._sweep_kernel_pair, A, 4)
+    np.testing.assert_allclose(np.asarray(inv2), np.asarray(inv1),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld2), np.asarray(ld1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(inv2),
+                               np.linalg.inv(A.astype(np.float64)),
+                               atol=5e-5)
+
+
 def test_blocked_sweep_kernel_matches_numpy(rng):
     A = _spd_batch(rng, 4, 128)
     inv, logdet = _run_kernel(ps._sweep_kernel_blocked, A, 2)
