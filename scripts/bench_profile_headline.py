@@ -26,14 +26,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def chain_time(step_fn, init_carry, rounds):
+def chain_time(step_fn, args, init_carry, rounds):
+    """Data is passed as explicit jit ARGUMENTS — closure-captured device
+    arrays get embedded as HLO constants, and at B=4096, N=128 the 268 MB
+    batch overflows the axon remote-compile request (HTTP 413)."""
     import jax
 
-    c = step_fn(init_carry)
+    c = step_fn(*args, init_carry)
     jax.block_until_ready(c)
     t0 = time.perf_counter()
     for _ in range(rounds):
-        c = step_fn(c)
+        c = step_fn(*args, c)
     jax.block_until_ready(c)
     return time.perf_counter() - t0
 
@@ -76,13 +79,13 @@ def main():
     A0 = (A0 @ A0.transpose(0, 2, 1)) / N + 2.0 * np.eye(N, dtype=np.float32)
     A0 = jnp.asarray(A0)
 
-    def timed(name, step_fn, carry0):
-        dt = chain_time(step_fn, carry0, args.rounds)
+    def timed(name, step_fn, data, carry0):
+        dt = chain_time(step_fn, data, carry0, args.rounds)
         results[name] = round(B * args.rounds / dt, 1)
 
     # 1. gram assembly value+grad
     @jax.jit
-    def gram_vg(carry):
+    def gram_vg(params, X, carry):
         def one(p, x):
             c = gp.constrain(cfg, p)
             return jnp.sum(K_ops.gram(cfg.kernel, x, x, c.lengthscale,
@@ -91,20 +94,20 @@ def main():
         v, g = jax.vmap(jax.value_and_grad(one))(params, X + carry * 0.0)
         return jnp.mean(v) * 1e-20
 
-    timed("gram_vg", gram_vg, jnp.asarray(0.0, dtype))
+    timed("gram_vg", gram_vg, (params, X), jnp.asarray(0.0, dtype))
 
     # 2. inverse forward only
     @jax.jit
-    def inv_fwd(carry):
+    def inv_fwd(A0, carry):
         inv, logdet = ps._sweep_inverse_impl(A0 + carry * 0.0)
         return jnp.mean(logdet) * 1e-20
 
-    timed("inverse_fwd", inv_fwd, jnp.asarray(0.0, dtype))
+    timed("inverse_fwd", inv_fwd, (A0,), jnp.asarray(0.0, dtype))
 
     # 3/4. full objective value+grad per method
     for name, method in (("mll_vg_sweep", "sweep"), ("mll_vg_chol", "chol")):
         @jax.jit
-        def mll_vg(carry, method=method):
+        def mll_vg(params, X, y, carry, method=method):
             def one(p, x, yy):
                 return gp.map_objective(cfg, p, x, yy, method=method)
 
@@ -112,18 +115,19 @@ def main():
                                                      y)
             return jnp.mean(v) * 1e-20
 
-        timed(name, mll_vg, jnp.asarray(0.0, dtype))
+        timed(name, mll_vg, (params, X, y), jnp.asarray(0.0, dtype))
 
     # 5. forward-only sweep MLL
     @jax.jit
-    def mll_fwd(carry):
+    def mll_fwd(params, X, y, carry):
         def one(p, x, yy):
             return gp.mll(cfg, p, x, yy, method="sweep")
 
         v = jax.vmap(one)(params, X + carry * 0.0, y)
         return jnp.mean(v) * 1e-20
 
-    timed("mll_fwd_sweep", mll_fwd, jnp.asarray(0.0, dtype))
+    timed("mll_fwd_sweep", mll_fwd, (params, X, y),
+          jnp.asarray(0.0, dtype))
 
     # derived: seconds per eval per stage (1e9/evals_per_s = ns)
     ns = {k: round(1e9 / v, 1) for k, v in results.items()
