@@ -30,14 +30,16 @@ def chain_time(step_fn, args, init_carry, rounds):
     """Data is passed as explicit jit ARGUMENTS — closure-captured device
     arrays get embedded as HLO constants, and at B=4096, N=128 the 268 MB
     batch overflows the axon remote-compile request (HTTP 413)."""
-    import jax
-
     c = step_fn(*args, init_carry)
-    jax.block_until_ready(c)
+    _ = float(c)   # HOST VALUE FETCH — on axon, block_until_ready does not
+    #                force execution of the queued chain; only fetching the
+    #                dependent scalar does (see bench.py measurement notes;
+    #                the first artifact of this script measured dispatch
+    #                latency only: 200M "evals/s")
     t0 = time.perf_counter()
     for _ in range(rounds):
         c = step_fn(*args, c)
-    jax.block_until_ready(c)
+    _ = float(c)
     return time.perf_counter() - t0
 
 
