@@ -58,15 +58,22 @@ def time_fit(fit_fn, *args, repeats=3, inner=10):
     rounded to 0.0 s for exactly this reason).
     """
     import jax
+    import jax.numpy as jnp
+
+    def fetch(o):
+        # host VALUE fetch — on the axon tunnel, block_until_ready does not
+        # force execution of queued programs; only consuming a dependent
+        # value does (bench.py measurement notes)
+        return float(jnp.sum(jax.tree_util.tree_leaves(o.params)[0]))
 
     out = fit_fn(*args)          # compile
-    jax.block_until_ready(jax.tree_util.tree_leaves(out.params)[0])
+    fetch(out)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(inner):
             out = fit_fn(*args)
-        jax.block_until_ready(out)
+        fetch(out)
         times.append((time.perf_counter() - t0) / inner)
     return out, sorted(times)[len(times) // 2]
 
