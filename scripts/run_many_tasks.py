@@ -60,20 +60,23 @@ def time_fit(fit_fn, *args, repeats=3, inner=10):
     import jax
     import jax.numpy as jnp
 
-    def fetch(o):
-        # host VALUE fetch — on the axon tunnel, block_until_ready does not
-        # force execution of queued programs; only consuming a dependent
-        # value does (bench.py measurement notes)
-        return float(jnp.sum(jax.tree_util.tree_leaves(o.params)[0]))
+    def carry_of(o):
+        return jnp.sum(jax.tree_util.tree_leaves(o.params)[0]) * 1e-20
 
-    out = fit_fn(*args)          # compile
-    fetch(out)
+    # Axon measurement rules (bench.py notes): chain iterations through a
+    # data dependency (an unchained burst of identical dispatches can be
+    # elided except the fetched one) and force execution with a host VALUE
+    # fetch (block_until_ready does not).
+    out = fit_fn(jnp.asarray(0.0))          # compile
+    c = carry_of(out)
+    _ = float(c)
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(inner):
-            out = fit_fn(*args)
-        fetch(out)
+            out = fit_fn(c)
+            c = carry_of(out)
+        _ = float(c)
         times.append((time.perf_counter() - t0) / inner)
     return out, sorted(times)[len(times) // 2]
 
@@ -118,8 +121,9 @@ def main():
         data = build_meta(M, args.points)
         row = {"M": M}
 
-        def fit_single(data=data):
-            return m.meta_fit_task_stack(data, cfg, key,
+        def fit_single(carry, data=data):
+            d2 = data._replace(X=data.X + carry * 0.0)
+            return m.meta_fit_task_stack(d2, cfg, key,
                                          num_restarts=args.restarts,
                                          num_steps=args.steps)
 
@@ -135,8 +139,9 @@ def main():
             n_dev = jax.device_count()
             mesh = Mesh(np.asarray(jax.devices()).reshape(n_dev), ("task",))
 
-            def fit_shard(data=data, mesh=mesh):
-                return sh.meta_fit_sharded(data, cfg, key, mesh,
+            def fit_shard(carry, data=data, mesh=mesh):
+                d2 = data._replace(X=data.X + carry * 0.0)
+                return sh.meta_fit_sharded(d2, cfg, key, mesh,
                                            num_restarts=args.restarts,
                                            num_steps=args.steps)
 
