@@ -32,6 +32,12 @@ def run_with_bbo(benchmark: BenchmarkBase, optimizer_cls: Type,
         optimizer_kwargs["meta_data"] = benchmark.get_meta_data(
             seed=meta_data_seed, distribution="random")
 
+    # pre-size the driver's padded buffers to the eval budget: avoids a
+    # ~25 s recompile pair at every power-of-two bucket boundary
+    # (docs/SEQ_DRIVER_TPU.json)
+    if ("capacity_hint"
+            in inspect.signature(optimizer_cls).parameters.keys()):
+        optimizer_kwargs.setdefault("capacity_hint", max_evaluations)
     optimizer = optimizer_cls(search_space=benchmark.search_space,
                               objective=objective, **optimizer_kwargs)
     return run_optimization_loop(optimizer=optimizer,

@@ -136,6 +136,7 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
         fit_method: str = "map",
         hmc_kwargs: Optional[Dict[str, Any]] = None,
         vi_kwargs: Optional[Dict[str, Any]] = None,
+        capacity_hint: Optional[int] = None,
     ):
         r"""Single-objective meta-learning BO with ScaML-GP as surrogate.
 
@@ -171,6 +172,13 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
             vi_kwargs: fit_method="vi" overrides — ADVI steps / MC draws per
                 ELBO gradient / learning rate / acquisition mixture size
                 (``models/vi.py``).
+            capacity_hint: expected total number of target observations.
+                Buffers are padded to power-of-two capacity buckets and
+                every bucket boundary recompiles the fit/acquisition
+                programs (measured ~25 s each at tabular scale,
+                docs/SEQ_DRIVER_TPU.json); pre-sizing to the final bucket
+                removes all intermediate recompiles.  The study runner
+                passes its eval budget automatically.
         """
         super().__init__(search_space, objective, seed)
         self.logger = logger or logging.getLogger("scamlgp_tpu")
@@ -190,6 +198,7 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
                            "mixture_samples": 16, **(hmc_kwargs or {})}
         self.vi_kwargs = {"num_steps": 200, "num_mc": 8, "lr": 0.05,
                           "mixture_samples": 16, **(vi_kwargs or {})}
+        self.capacity_hint = capacity_hint
         self._hyper_samples = None
         self._af_factory = acquisition_function_factory
         self._n_features = len(self.search_space)
@@ -223,7 +232,8 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
     def _build_model(self, X: np.ndarray, y: np.ndarray,
                      params) -> model_lib.ScaMLGP:
         n = X.shape[0]
-        cap = _next_capacity(max(n, 1))
+        floor = self.capacity_hint or 1
+        cap = _next_capacity(max(n, floor, 1))
         Xp = np.zeros((cap, self._n_features))
         yp = np.zeros((cap,))
         mp = np.zeros((cap,))

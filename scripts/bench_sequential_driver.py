@@ -33,7 +33,7 @@ SCENARIOS = {
 }
 
 
-def run_scenario(name, spec, seed=0):
+def run_scenario(name, spec, seed=0, capacity_hint=False):
     import jax
 
     from scamlgp_tpu.bo.core import Evaluation, Objective
@@ -66,7 +66,8 @@ def run_scenario(name, spec, seed=0):
         meta[f"task{t}"] = evals
 
     t0 = time.perf_counter()
-    opt = ScaMLGPBO(space, Objective("loss", False), meta, seed=seed)
+    opt = ScaMLGPBO(space, Objective("loss", False), meta, seed=seed,
+                    capacity_hint=E if capacity_hint else None)
     init_s = time.perf_counter() - t0
 
     gen_times, rep_times = [], []
@@ -105,6 +106,9 @@ def run_scenario(name, spec, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenarios", nargs="*", default=list(SCENARIOS))
+    ap.add_argument("--capacity-hint", action="store_true",
+                    help="pre-size target buffers to the eval budget "
+                         "(skips all intermediate bucket recompiles)")
     ap.add_argument("--cpu", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -115,9 +119,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu)
 
-    out = {"backend": jax.default_backend(), "rows": []}
+    out = {"backend": jax.default_backend(),
+           "capacity_hint": bool(args.capacity_hint), "rows": []}
     for name in args.scenarios:
-        row = run_scenario(name, SCENARIOS[name])
+        row = run_scenario(name, SCENARIOS[name],
+                           capacity_hint=args.capacity_hint)
         out["rows"].append(row)
         print(json.dumps(row), flush=True)
     print(json.dumps(out))

@@ -122,3 +122,35 @@ def test_greater_is_better_objective(seed):
         opt.report(es.create_evaluation(objectives={"score": score}))
     mean, std = opt.predict([{"x0": 1.56}])
     assert np.isfinite(mean[0]) and std[0] > 0
+
+
+def test_capacity_hint_presizes_buffers():
+    """capacity_hint pads target buffers to the final bucket up front, so
+    the BO loop never crosses a bucket boundary (each boundary recompiles
+    the fit/acquisition programs — measured ~25 s at tabular scale,
+    docs/SEQ_DRIVER_TPU.json)."""
+    import numpy as np
+
+    from scamlgp_tpu.bo.core import Evaluation, Objective
+    from scamlgp_tpu.bo.optimizer import ScaMLGPBO
+    from scamlgp_tpu.bo.space import ContinuousParameter, ParameterSpace
+
+    space = ParameterSpace()
+    space.add(ContinuousParameter("x", (0.0, 1.0)))
+    meta = {"t": [Evaluation(configuration={"x": float(u)},
+                             objectives={"loss": float((u - 0.4) ** 2)})
+                  for u in np.linspace(0.1, 0.9, 6)]}
+    opt = ScaMLGPBO(space, Objective("loss", False), meta, seed=0,
+                    capacity_hint=20, num_restarts_log_likelihood=1,
+                    num_fit_steps=5,
+                    af_optimizer_kwargs={"raw_samples": 16,
+                                         "num_restarts": 2,
+                                         "num_steps": 3})
+    assert opt.model.train_X.shape[0] == 32  # next_capacity(20)
+    caps = set()
+    for _ in range(3):
+        spec = opt.generate_evaluation_specification()
+        opt.report(Evaluation(configuration=spec.configuration,
+                              objectives={"loss": 0.5}))
+        caps.add(opt.model.train_X.shape[0])
+    assert caps == {32}
