@@ -131,6 +131,32 @@ def main():
     timed("mll_fwd_sweep", mll_fwd, (params, X, y),
           jnp.asarray(0.0, dtype))
 
+    # 6. system assembly only: gram + mask_system (pre-kernel glue)
+    from scamlgp_tpu.ops import linalg
+
+    @jax.jit
+    def assemble(params, X, carry):
+        def one(p, x):
+            c = gp.constrain(cfg, p)
+            K = K_ops.gram(cfg.kernel, x, x, c.lengthscale, c.outputscale)
+            return jnp.sum(linalg.mask_system(K, c.noise, None))
+
+        v = jax.vmap(one)(params, X + carry * 0.0)
+        return jnp.mean(v) * 1e-20
+
+    timed("assemble_fwd", assemble, (params, X), jnp.asarray(0.0, dtype))
+
+    # 7. inverse-MLL on a prebuilt system (kernel + alpha/quad/logdet)
+    from scamlgp_tpu.ops import inverse_mll
+
+    @jax.jit
+    def mll_pre(A0, y, carry):
+        v = inverse_mll.mll_via_inverse(
+            A0 + carry * 0.0, y, jnp.asarray(float(N), dtype))
+        return jnp.mean(v) * 1e-20
+
+    timed("mll_via_inv_preA", mll_pre, (A0, y), jnp.asarray(0.0, dtype))
+
     # derived: seconds per eval per stage (1e9/evals_per_s = ns)
     ns = {k: round(1e9 / v, 1) for k, v in results.items()
           if isinstance(v, float)}
