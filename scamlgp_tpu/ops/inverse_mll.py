@@ -81,8 +81,13 @@ def _fwd_impl(A, y, n_active):
     Ainv, logdet = _inverse_auto(A.reshape((-1, N, N)))
     Ainv = Ainv.reshape(batch + (N, N))
     logdet = logdet.reshape(batch)
-    alpha = jnp.einsum("...ij,...j->...i", Ainv, y,
-                       precision=jax.lax.Precision.HIGHEST)
+    # alpha as a VPU multiply-reduce, NOT an MXU einsum: a matvec has no
+    # MXU reuse, and f32 Precision.HIGHEST decomposes into 6 bf16 passes on
+    # TPU — measured ~40% of the whole value+grad pipeline at the headline
+    # shape (docs/PROFILE_HEADLINE_r4.json stage mll_via_inv_preA).  The
+    # elementwise product with an f32 reduce accumulator is exact f32 in a
+    # single bandwidth-bound pass.
+    alpha = jnp.sum(Ainv * y[..., None, :], axis=-1)
     quad = jnp.sum(y * alpha, axis=-1)
     value = -0.5 * (quad + logdet + n_active * _LOG_2PI)
     return value, (Ainv, alpha)
