@@ -337,7 +337,31 @@ def _chol_inverse_impl(A):
     return Ainv, logdet
 
 
+@jax.custom_batching.custom_vmap
 def _sweep_inverse_impl(A):
+    return _sweep_inverse_impl_inner(A)
+
+
+@_sweep_inverse_impl.def_vmap
+def _sweep_inverse_impl_vmap(axis_size, in_batched, A):
+    """Collapse vmapped axes into the kernel's batch dimension.
+
+    Without this rule, callers that vmap a PER-INSTANCE mll (restart/task/
+    study axes — every fit in the engine) trace the kernel at batch size 1:
+    ``_choose_g(B=1) == 1``, i.e. 4096 grid cells of G=1 instead of 512
+    cells of G=8 — measured 19.1 us/eval vs 11.4 us/eval at the headline
+    shape (docs/PROFILE_HEADLINE_r4.json, full pipeline vs pre-batched
+    stages).  Flattening the mapped axis lets ``_choose_g`` see the true
+    batch; nested vmaps collapse recursively.
+    """
+    del axis_size, in_batched
+    N = A.shape[-1]
+    inv, logdet = _sweep_inverse_impl(A.reshape((-1, N, N)))
+    return ((inv.reshape(A.shape), logdet.reshape(A.shape[:-2])),
+            (True, True))
+
+
+def _sweep_inverse_impl_inner(A):
     B, N, _ = A.shape
     g = _choose_g(B, N, jnp.dtype(A.dtype).itemsize)
     if jax.default_backend() != "tpu" or g < 1 or N > _SWEEP_MAX_N:
