@@ -47,6 +47,11 @@ def main():
                     choices=["shgo", "device"],
                     help="'device': on-device multi-start minima instead of "
                          "host-side SHGO (much faster setup for 6-D)")
+    ap.add_argument("--study-chunk", type=int, default=None,
+                    help="sequential BO-loop chunks of at most this many "
+                         "studies (None = run_campaign's auto fault "
+                         "guard; large HM6 campaigns fault on axon even "
+                         "at N=128 when S*M is big)")
     ap.add_argument("--meta-fit-chunks", type=int, default=1,
                     help="split the meta-fit into this many sequential "
                          "dispatches (bounds device memory at large "
@@ -132,7 +137,8 @@ def main():
                        loop=args.loop, mesh=mesh,
                        meta_fit_chunks=args.meta_fit_chunks,
                        checkpoint_path=args.checkpoint,
-                       stop_after=args.stop_after)
+                       stop_after=args.stop_after,
+                       study_chunk=args.study_chunk)
     reg = np.asarray(simple_regret(res.y_clean, optima))
     t_run = time.time() - t0
 
