@@ -733,7 +733,12 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                 with GLOBAL_TIMER("campaign_iteration"):
                     Xb, yb, yc, mk, pr, ks = iteration(
                         st_c, tp_c, Xb, yb, yc, mk, pr, ks, i)
-                    jax.block_until_ready(yb)
+                    # tiny host VALUE fetch, not block_until_ready: the
+                    # axon runtime defers execution of blocked-but-
+                    # unfetched chains; letting all E iterations pile up
+                    # stalls the tunnel (bisected r4 — Branin S=128 hung
+                    # at the final fetch)
+                    _ = float(yb[0, i])
             Xbuf = Xbuf.at[c0:c1].set(Xb)
             ybuf = ybuf.at[c0:c1].set(yb)
             yclean = yclean.at[c0:c1].set(yc)
@@ -773,7 +778,10 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                 study_keys, i)
             if _iter_debug:
                 _t1 = __import__("time").perf_counter()
-            jax.block_until_ready(ybuf)
+            # host VALUE fetch (see chunked loop above: axon defers
+            # blocked-but-unfetched chains; per-iteration pinning keeps the
+            # device queue shallow and the timers honest)
+            _ = float(ybuf[0, i])
             if _iter_debug:
                 _t2 = __import__("time").perf_counter()
                 print(f"iter {i}: dispatch {_t1 - _t0:.3f}s "
