@@ -33,6 +33,16 @@ from scamlgp_tpu.models import scamlgp as m
 from scamlgp_tpu.ops import linalg
 
 
+#: host-loop execution pinning cadence: fetch one scalar every this many
+#: iterations.  On the axon tunnel, blocked-but-unfetched chains are
+#: deferred (E deep queues stall at large S) while every fetch pays a
+#: ~25 s sync regardless of queued work — 8 balances queue depth against
+#: sync amortization (r4 bisect; override via SCAMLGP_PIN_EVERY).
+import os as _os_mod
+
+_PIN_EVERY = int(_os_mod.environ.get("SCAMLGP_PIN_EVERY", "8"))
+
+
 @dataclasses.dataclass(frozen=True)
 class CampaignConfig:
     n_evaluations: int = 40
@@ -733,12 +743,14 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                 with GLOBAL_TIMER("campaign_iteration"):
                     Xb, yb, yc, mk, pr, ks = iteration(
                         st_c, tp_c, Xb, yb, yc, mk, pr, ks, i)
-                    # tiny host VALUE fetch, not block_until_ready: the
-                    # axon runtime defers execution of blocked-but-
-                    # unfetched chains; letting all E iterations pile up
-                    # stalls the tunnel (bisected r4 — Branin S=128 hung
-                    # at the final fetch)
-                    _ = float(yb[0, i])
+                    # periodic host VALUE fetch, not block_until_ready:
+                    # the axon runtime defers blocked-but-unfetched chains
+                    # (letting all E iterations pile up stalled S=128
+                    # campaigns), but each fetch costs a ~25 s tunnel sync
+                    # regardless of queued work — so pin every few
+                    # iterations, not every one (bisected r4)
+                    if (i + 1) % _PIN_EVERY == 0 or i + 1 == E:
+                        _ = float(yb[0, i])
             Xbuf = Xbuf.at[c0:c1].set(Xb)
             ybuf = ybuf.at[c0:c1].set(yb)
             yclean = yclean.at[c0:c1].set(yc)
@@ -778,10 +790,11 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                 study_keys, i)
             if _iter_debug:
                 _t1 = __import__("time").perf_counter()
-            # host VALUE fetch (see chunked loop above: axon defers
-            # blocked-but-unfetched chains; per-iteration pinning keeps the
-            # device queue shallow and the timers honest)
-            _ = float(ybuf[0, i])
+            # periodic host VALUE fetch (see chunked loop: axon defers
+            # blocked-but-unfetched chains, but each fetch costs a ~25 s
+            # tunnel sync — pin every few iterations)
+            if (i + 1) % _PIN_EVERY == 0 or i + 1 == E:
+                _ = float(ybuf[0, i])
             if _iter_debug:
                 _t2 = __import__("time").perf_counter()
                 print(f"iter {i}: dispatch {_t1 - _t0:.3f}s "
