@@ -40,7 +40,7 @@ from scamlgp_tpu.ops import linalg
 #: sync amortization (r4 bisect; override via SCAMLGP_PIN_EVERY).
 import os as _os_mod
 
-_PIN_EVERY = int(_os_mod.environ.get("SCAMLGP_PIN_EVERY", "8"))
+_PIN_EVERY = int(_os_mod.environ.get("SCAMLGP_PIN_EVERY", "40"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -272,11 +272,19 @@ def _auto_study_chunk(S: int, N: int, backend: str, has_mesh: bool,
     The axon TPU backend faults (infra-level UNAVAILABLE kernel fault) on
     single lock-step campaign programs past ~8 studies at N >= 256
     (bisected round 3, commit 5c8a7ba), so large-N campaigns on a single
-    chip run as sequential chunks of 8.  Meshes shard the study axis
-    already; the device loop compiles one program per study anyway.
+    chip run as sequential chunks of 8.  Large study batches are also
+    pathological regardless of N (r4: S=128 Branin campaigns ran at >20 s
+    per iteration through the tunnel while the same workload in 16-study
+    chunks matched the healthy ~seconds/iteration profile), so any S > 16
+    chunks to 16.  Meshes shard the study axis already; the device loop
+    compiles one program per study anyway.
     """
-    if backend == "tpu" and N >= 256 and not has_mesh and loop == "host":
+    if backend != "tpu" or has_mesh or loop != "host":
+        return 0
+    if N >= 256:
         return 8
+    if S > 16:
+        return 16
     return 0
 
 
