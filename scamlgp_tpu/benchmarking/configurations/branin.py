@@ -6,46 +6,16 @@ CLI: ``python -m scamlgp_tpu.benchmarking.configurations.branin
 submit|visualize|hash all``.
 """
 
-from pathlib import Path
 from typing import Any, Dict
 
 from scamlgp_tpu.benchmarking.benchmarks.branin import Branin
-from scamlgp_tpu.benchmarking.configurations.styles import OPTIMIZER_STYLES
+from scamlgp_tpu.benchmarking.configurations._shared import regret_cli
+from scamlgp_tpu.benchmarking.experiment_config_utils import Experiment
 from scamlgp_tpu.benchmarking.noise.homoscedastic import (
     HomoscedasticGaussianNoise,
 )
-from scamlgp_tpu.benchmarking.plotting import grouped_results
-from scamlgp_tpu.benchmarking.utils import with_experiment_cli_and_data_loading
-from scamlgp_tpu.benchmarking.experiment_config_utils import Experiment
 from scamlgp_tpu.bo.core import Objective
 from scamlgp_tpu.bo.optimizer import ScaMLGPBO
-
-
-@with_experiment_cli_and_data_loading
-def main(results: dict):
-    for robust_statistics in [True, False]:
-        fig = grouped_results(
-            list(results.values()),
-            optimizer_styles=OPTIMIZER_STYLES,
-            groups={
-                "Branin\n8 Tasks à 32 Points (σ_noise=1.0)": [
-                    v for k, v in EXPERIMENTS.items()
-                    if k.startswith("BRANIN_T8_P32_N1")],
-                "Branin\n32 Tasks à 32 Points (σ_noise=1.0)": [
-                    v for k, v in EXPERIMENTS.items()
-                    if k.startswith("BRANIN_T32_P32_N1")],
-            },
-            use_regrets=True,
-            robust_statistics=robust_statistics,
-            use_benchmark_optimum=True,
-            objective=Objective("loss", greater_is_better=False),
-        )
-        stats_label = "median_25quant75" if robust_statistics else "mean_sem"
-        fig.savefig(
-            Path(__file__).parent
-            / f"{Path(__file__).name[:-3]}_benchmark_wise_regrets_"
-              f"{stats_label}.pdf")
-
 
 DEFAULTS_BRANIN: Dict[str, Any] = dict(
     n_evaluations=40, n_studies=128, compute="PARALLEL")
@@ -74,6 +44,15 @@ EXPERIMENTS = {
         benchmark=BRANIN_T32_P32_CONFIG, optimizer=ScaMLGPBO,
         **DEFAULTS_BRANIN),
 }
+
+main = regret_cli(
+    __file__, EXPERIMENTS,
+    groups={
+        "Branin\n8 Tasks à 32 Points (σ_noise=1.0)": "BRANIN_T8_P32_N1",
+        "Branin\n32 Tasks à 32 Points (σ_noise=1.0)": "BRANIN_T32_P32_N1",
+    },
+    objective=Objective("loss", greater_is_better=False),
+)
 
 if __name__ == "__main__":
     main(EXPERIMENTS)

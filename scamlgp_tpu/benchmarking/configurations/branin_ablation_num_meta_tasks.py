@@ -2,49 +2,19 @@
 ``benchmarking/configurations/branin_ablation_num_meta_tasks.py:17-18,50-64``):
 M in {2,4,8,16,32,64}, N_m = 32; 80 evals x 128 studies, sigma = 1.0."""
 
-from pathlib import Path
 from typing import Any, Dict
 
 from scamlgp_tpu.benchmarking.benchmarks.branin import Branin
-from scamlgp_tpu.benchmarking.configurations.styles import OPTIMIZER_STYLES
+from scamlgp_tpu.benchmarking.configurations._shared import regret_cli
 from scamlgp_tpu.benchmarking.experiment_config_utils import Experiment
 from scamlgp_tpu.benchmarking.noise.homoscedastic import (
     HomoscedasticGaussianNoise,
 )
-from scamlgp_tpu.benchmarking.plotting import grouped_results
-from scamlgp_tpu.benchmarking.utils import with_experiment_cli_and_data_loading
 from scamlgp_tpu.bo.core import Objective
 from scamlgp_tpu.bo.optimizer import ScaMLGPBO
 
 NUM_META_TASKS = [2, 4, 8, 16, 32, 64]
 NUM_POINTS_PER_TASK = 32
-
-
-@with_experiment_cli_and_data_loading
-def main(results: dict):
-    for robust_statistics in [True, False]:
-        fig = grouped_results(
-            list(results.values()),
-            optimizer_styles=OPTIMIZER_STYLES,
-            groups={
-                f"Branin\n$M={num_tasks} \\quad N_m={NUM_POINTS_PER_TASK}$": [
-                    v for k, v in EXPERIMENTS.items()
-                    if k.startswith(
-                        f"Branin_T{num_tasks}_P{NUM_POINTS_PER_TASK}_N1")]
-                for num_tasks in NUM_META_TASKS
-            },
-            robust_statistics=robust_statistics,
-            use_regrets=True,
-            use_benchmark_optimum=True,
-            objective=Objective("loss", greater_is_better=False),
-            sharey="row",
-        )
-        stats_label = "median_25quant75" if robust_statistics else "mean_sem"
-        fig.savefig(
-            Path(__file__).parent
-            / f"{Path(__file__).name[:-3]}_benchmark_wise_regrets_"
-              f"{stats_label}.pdf")
-
 
 _DEFAULTS: Dict[str, Any] = dict(
     n_evaluations=80, n_studies=128, compute="PARALLEL")
@@ -63,6 +33,17 @@ for num_tasks in NUM_META_TASKS:
             f"Branin_T{num_tasks}_P{NUM_POINTS_PER_TASK}_N1_{optimizer_name}"
         ] = Experiment(benchmark=benchmark_config, optimizer=optimizer,
                        **_DEFAULTS)
+
+main = regret_cli(
+    __file__, EXPERIMENTS,
+    groups={
+        f"Branin\n$M={num_tasks} \\quad N_m={NUM_POINTS_PER_TASK}$":
+            f"Branin_T{num_tasks}_P{NUM_POINTS_PER_TASK}_N1"
+        for num_tasks in NUM_META_TASKS
+    },
+    objective=Objective("loss", greater_is_better=False),
+    sharey="row",
+)
 
 if __name__ == "__main__":
     main(EXPERIMENTS)

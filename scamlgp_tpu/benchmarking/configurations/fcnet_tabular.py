@@ -3,47 +3,15 @@
 as target vs the other 3 as meta (3 x 256 pts), categoricals fixed to
 near-optimal values; 80 evals x 128 studies."""
 
-from pathlib import Path
 from typing import Any, Dict
 
 from scamlgp_tpu.benchmarking.benchmarks.fcnet_fixed_fidelity_tabular import (
     FCNetFixedFidelityTabularBenchmark,
 )
-from scamlgp_tpu.benchmarking.configurations.styles import OPTIMIZER_STYLES
+from scamlgp_tpu.benchmarking.configurations._shared import regret_cli
 from scamlgp_tpu.benchmarking.experiment_config_utils import Experiment
-from scamlgp_tpu.benchmarking.plotting import grouped_results
-from scamlgp_tpu.benchmarking.utils import with_experiment_cli_and_data_loading
 from scamlgp_tpu.bo.core import Objective
 from scamlgp_tpu.bo.optimizer import ScaMLGPBO
-
-
-@with_experiment_cli_and_data_loading
-def main(results: dict):
-    fig = grouped_results(
-        list(results.values()),
-        optimizer_styles=OPTIMIZER_STYLES,
-        groups={
-            "FCNet Slice\n3 Tasks à 256 Points": [
-                v for k, v in EXPERIMENTS.items()
-                if k.startswith("SLICE_T3_P256")],
-            "FCNet Protein\n3 Tasks à 256 Points": [
-                v for k, v in EXPERIMENTS.items()
-                if k.startswith("PROTEIN_T3_P256")],
-            "FCNet Parkinsons\n3 Tasks à 256 Points": [
-                v for k, v in EXPERIMENTS.items()
-                if k.startswith("PARKIN_T3_P256")],
-            "FCNet Naval\n3 Tasks à 256 Points": [
-                v for k, v in EXPERIMENTS.items()
-                if k.startswith("NAVAL_T3_P256")],
-        },
-        robust_statistics=False,
-        use_regrets=True,
-        objective=Objective("valid_loss", False),
-    )
-    fig.savefig(
-        Path(__file__).parent
-        / f"{Path(__file__).name[:-3]}_benchmark_wise_regrets.pdf")
-
 
 _T3_P256_KWARGS = {
     "n_data_per_task": [256] * 3,
@@ -93,6 +61,18 @@ EXPERIMENTS = {
     "NAVAL_T3_P256_SCAMLGP": Experiment(
         benchmark=_NAVAL_T3_P256_CONFIG, optimizer=ScaMLGPBO, **_DEFAULTS),
 }
+
+main = regret_cli(
+    __file__, EXPERIMENTS,
+    groups={
+        "FCNet Slice\n3 Tasks à 256 Points": "SLICE_T3_P256",
+        "FCNet Protein\n3 Tasks à 256 Points": "PROTEIN_T3_P256",
+        "FCNet Parkinsons\n3 Tasks à 256 Points": "PARKIN_T3_P256",
+        "FCNet Naval\n3 Tasks à 256 Points": "NAVAL_T3_P256",
+    },
+    objective=Objective("valid_loss", False),
+    robust_variants=(False,), label_stats=False,
+)
 
 if __name__ == "__main__":
     main(EXPERIMENTS)

@@ -2,46 +2,16 @@
 ``benchmarking/configurations/hartmann3.py:43-76``): sigma = 0.1,
 40 evals x 128 studies, M = 8 / 32 x 32 points."""
 
-from pathlib import Path
 from typing import Any, Dict
 
 from scamlgp_tpu.benchmarking.benchmarks.hartmann_3d import Hartmann3D
-from scamlgp_tpu.benchmarking.configurations.styles import OPTIMIZER_STYLES
+from scamlgp_tpu.benchmarking.configurations._shared import regret_cli
 from scamlgp_tpu.benchmarking.experiment_config_utils import Experiment
 from scamlgp_tpu.benchmarking.noise.homoscedastic import (
     HomoscedasticGaussianNoise,
 )
-from scamlgp_tpu.benchmarking.plotting import grouped_results
-from scamlgp_tpu.benchmarking.utils import with_experiment_cli_and_data_loading
 from scamlgp_tpu.bo.core import Objective
 from scamlgp_tpu.bo.optimizer import ScaMLGPBO
-
-
-@with_experiment_cli_and_data_loading
-def main(results: dict):
-    for robust_statistics in [True, False]:
-        fig = grouped_results(
-            list(results.values()),
-            optimizer_styles=OPTIMIZER_STYLES,
-            groups={
-                "Hartmann3D\n8 Tasks à 32 Points (σ_noise=0.1)": [
-                    v for k, v in EXPERIMENTS.items()
-                    if k.startswith("HM3_T8_P32_N01")],
-                "Hartmann3D\n32 Tasks à 32 Points (σ_noise=0.1)": [
-                    v for k, v in EXPERIMENTS.items()
-                    if k.startswith("HM3_T32_P32_N01")],
-            },
-            use_regrets=True,
-            robust_statistics=robust_statistics,
-            use_benchmark_optimum=True,
-            objective=Objective("loss", greater_is_better=False),
-        )
-        stats_label = "median_25quant75" if robust_statistics else "mean_sem"
-        fig.savefig(
-            Path(__file__).parent
-            / f"{Path(__file__).name[:-3]}_benchmark_wise_regrets_"
-              f"{stats_label}.pdf")
-
 
 DEFAULTS_HARTMANN_3D: Dict[str, Any] = dict(
     n_evaluations=40, n_studies=128, compute="PARALLEL")
@@ -75,6 +45,15 @@ EXPERIMENTS = {
         benchmark=HM3_T32_P32_CONFIG, optimizer=ScaMLGPBO,
         **DEFAULTS_HARTMANN_3D),
 }
+
+main = regret_cli(
+    __file__, EXPERIMENTS,
+    groups={
+        "Hartmann3D\n8 Tasks à 32 Points (σ_noise=0.1)": "HM3_T8_P32_N01",
+        "Hartmann3D\n32 Tasks à 32 Points (σ_noise=0.1)": "HM3_T32_P32_N01",
+    },
+    objective=Objective("loss", greater_is_better=False),
+)
 
 if __name__ == "__main__":
     main(EXPERIMENTS)

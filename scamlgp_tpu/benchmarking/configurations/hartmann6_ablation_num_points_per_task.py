@@ -1,50 +1,20 @@
 """Hartmann6D points-per-task ablation (reference
-``benchmarking/configurations/hartmann6_ablation_num_points_per_task.py:17-18,50-64``):
+``benchmarking/configurations/hartmann6_ablation_num_points_per_task.py:17-18,53-66``):
 M = 8, N_m in {16,32,64,128,256,512}; 80 evals x 128 studies, sigma = 0.1."""
 
-from pathlib import Path
 from typing import Any, Dict
 
 from scamlgp_tpu.benchmarking.benchmarks.hartmann_6d import Hartmann6D
-from scamlgp_tpu.benchmarking.configurations.styles import OPTIMIZER_STYLES
+from scamlgp_tpu.benchmarking.configurations._shared import regret_cli
 from scamlgp_tpu.benchmarking.experiment_config_utils import Experiment
 from scamlgp_tpu.benchmarking.noise.homoscedastic import (
     HomoscedasticGaussianNoise,
 )
-from scamlgp_tpu.benchmarking.plotting import grouped_results
-from scamlgp_tpu.benchmarking.utils import with_experiment_cli_and_data_loading
 from scamlgp_tpu.bo.core import Objective
 from scamlgp_tpu.bo.optimizer import ScaMLGPBO
 
 NUM_META_TASKS = 8
 NUM_POINTS_PER_TASK = [16, 32, 64, 128, 256, 512]
-
-
-@with_experiment_cli_and_data_loading
-def main(results: dict):
-    for robust_statistics in [True, False]:
-        fig = grouped_results(
-            list(results.values()),
-            optimizer_styles=OPTIMIZER_STYLES,
-            groups={
-                f"Hartmann6D\n$M={NUM_META_TASKS} \\quad N_m={num_points}$": [
-                    v for k, v in EXPERIMENTS.items()
-                    if k.startswith(
-                        f"HARTMANN_6D_T{NUM_META_TASKS}_P{num_points}_N01")]
-                for num_points in NUM_POINTS_PER_TASK
-            },
-            robust_statistics=robust_statistics,
-            use_regrets=True,
-            use_benchmark_optimum=True,
-            objective=Objective("loss", greater_is_better=False),
-            sharey="row",
-        )
-        stats_label = "median_25quant75" if robust_statistics else "mean_sem"
-        fig.savefig(
-            Path(__file__).parent
-            / f"{Path(__file__).name[:-3]}_benchmark_wise_regrets_"
-              f"{stats_label}.pdf")
-
 
 _DEFAULTS: Dict[str, Any] = dict(
     n_evaluations=80, n_studies=128, compute="PARALLEL")
@@ -64,6 +34,17 @@ for num_points in NUM_POINTS_PER_TASK:
             f"{optimizer_name}"
         ] = Experiment(benchmark=benchmark_config, optimizer=optimizer,
                        **_DEFAULTS)
+
+main = regret_cli(
+    __file__, EXPERIMENTS,
+    groups={
+        f"Hartmann6D\n$M={NUM_META_TASKS} \\quad N_m={num_points}$":
+            f"HARTMANN_6D_T{NUM_META_TASKS}_P{num_points}_N01"
+        for num_points in NUM_POINTS_PER_TASK
+    },
+    objective=Objective("loss", greater_is_better=False),
+    sharey="row",
+)
 
 if __name__ == "__main__":
     main(EXPERIMENTS)

@@ -4,28 +4,23 @@
 table at selected iterations."""
 
 import json
-from pathlib import Path
-from typing import Any, Dict, List
+from typing import List
 
 import numpy as np
 from scipy.stats import sem
 
-from scamlgp_tpu.benchmarking.benchmarks.hpo_bench_tabular import (
-    HPOBenchTabular,
+from scamlgp_tpu.benchmarking.configurations._shared import (
+    hpobench_experiments,
+    regret_cli,
 )
 from scamlgp_tpu.benchmarking.configurations.styles import OPTIMIZER_STYLES
 from scamlgp_tpu.benchmarking.experiment_config_utils import Experiment
-from scamlgp_tpu.benchmarking.plotting import (
-    _regrets_from_studies,
-    grouped_results,
-)
-from scamlgp_tpu.benchmarking.utils import with_experiment_cli_and_data_loading
+from scamlgp_tpu.benchmarking.plotting import _regret_curves
 from scamlgp_tpu.bo.core import Objective
-from scamlgp_tpu.bo.optimizer import ScaMLGPBO
 
 
 def _regret_stats(studies: list):
-    regrets = np.asarray(_regrets_from_studies(studies))
+    regrets = np.asarray(_regret_curves(studies))
     return np.mean(regrets, axis=0), sem(regrets, axis=0)
 
 
@@ -65,39 +60,17 @@ def _print_markdown_table(results: dict, configs: List[Experiment],
               "|")
 
 
-@with_experiment_cli_and_data_loading
-def main(results: dict):
-    _print_markdown_table(results, configs=EXPERIMENTS.values(),
-                          iterations=[10, 20, 30, 40, 50, 60])
-    fig = grouped_results(
-        list(results.values()),
-        optimizer_styles=OPTIMIZER_STYLES,
-        groups={
-            "NN Tabular\n7 Tasks à 128 Points": [
-                v for k, v in EXPERIMENTS.items()
-                if k.startswith("NN_T7_P128")],
-        },
-        robust_statistics=False,
-        use_regrets=True,
-        objective=Objective("1 - Accuracy", False),
-    )
-    fig.savefig(
-        Path(__file__).parent
-        / f"{Path(__file__).name[:-3]}_benchmark_wise_regrets.pdf")
+EXPERIMENTS = hpobench_experiments("nn", n_tasks=7, n_points=128)
 
-
-_NN_T7_P128_CONFIG = {
-    "cls": HPOBenchTabular,
-    "kwargs": {"scenario": "nn", "n_data_per_task": [128] * 7},
-}
-
-_DEFAULTS: Dict[str, Any] = dict(
-    n_evaluations=60, n_studies=256, compute="PARALLEL")
-
-EXPERIMENTS = {
-    "NN_T7_P128_SCAMLGP": Experiment(
-        benchmark=_NN_T7_P128_CONFIG, optimizer=ScaMLGPBO, **_DEFAULTS),
-}
+main = regret_cli(
+    __file__, EXPERIMENTS,
+    groups={"NN Tabular\n7 Tasks à 128 Points": "NN_T7_P128"},
+    objective=Objective("1 - Accuracy", False),
+    robust_variants=(False,), label_stats=False,
+    after_plot=lambda results: _print_markdown_table(
+        results, configs=EXPERIMENTS.values(),
+        iterations=[10, 20, 30, 40, 50, 60]),
+)
 
 if __name__ == "__main__":
     main(EXPERIMENTS)

@@ -1,50 +1,21 @@
 """XGB tabular HPO experiment grid (reference
-``benchmarking/configurations/xgb_tabular.py``):
+``benchmarking/configurations/xgb_tabular.py:44``):
 HPOBench xgb, 19 tasks x 128 pts; 60 evals x 256 studies."""
 
-from pathlib import Path
-from typing import Any, Dict
-
-from scamlgp_tpu.benchmarking.benchmarks.hpo_bench_tabular import HPOBenchTabular
-from scamlgp_tpu.benchmarking.configurations.styles import OPTIMIZER_STYLES
-from scamlgp_tpu.benchmarking.experiment_config_utils import Experiment
-from scamlgp_tpu.benchmarking.plotting import grouped_results
-from scamlgp_tpu.benchmarking.utils import with_experiment_cli_and_data_loading
+from scamlgp_tpu.benchmarking.configurations._shared import (
+    hpobench_experiments,
+    regret_cli,
+)
 from scamlgp_tpu.bo.core import Objective
-from scamlgp_tpu.bo.optimizer import ScaMLGPBO
 
+EXPERIMENTS = hpobench_experiments("xgb", n_tasks=19, n_points=128)
 
-@with_experiment_cli_and_data_loading
-def main(results: dict):
-    fig = grouped_results(
-        list(results.values()),
-        optimizer_styles=OPTIMIZER_STYLES,
-        groups={
-            "XGB Tabular\n19 Tasks à 128 Points": [
-                v for k, v in EXPERIMENTS.items()
-                if k.startswith("XGB_T19_P128")],
-        },
-        robust_statistics=False,
-        use_regrets=True,
-        objective=Objective("1 - Accuracy", False),
-    )
-    fig.savefig(
-        Path(__file__).parent
-        / f"{Path(__file__).name[:-3]}_benchmark_wise_regrets.pdf")
-
-
-_XGB_T19_P128_CONFIG = {
-    "cls": HPOBenchTabular,
-    "kwargs": {"scenario": "xgb", "n_data_per_task": [128] * 19},
-}
-
-_DEFAULTS: Dict[str, Any] = dict(
-    n_evaluations=60, n_studies=256, compute="PARALLEL")
-
-EXPERIMENTS = {
-    "XGB_T19_P128_SCAMLGP": Experiment(
-        benchmark=_XGB_T19_P128_CONFIG, optimizer=ScaMLGPBO, **_DEFAULTS),
-}
+main = regret_cli(
+    __file__, EXPERIMENTS,
+    groups={"XGB Tabular\n19 Tasks à 128 Points": "XGB_T19_P128"},
+    objective=Objective("1 - Accuracy", False),
+    robust_variants=(False,), label_stats=False,
+)
 
 if __name__ == "__main__":
     main(EXPERIMENTS)

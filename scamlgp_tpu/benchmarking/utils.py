@@ -1,21 +1,26 @@
-"""Benchmark discovery, meta-data noising, and the submit/visualize/hash CLI
-(reference ``/root/reference/scamlgp/benchmarking/utils.py:29-309``)."""
+"""Benchmark discovery, meta-data noising, and the experiment CLI.
+
+Behavioral contract follows reference ``benchmarking/utils.py:29-309``
+(discovery by package introspection, ``submit | visualize | hash`` modes,
+per-seed result JSON merging); the structure here is the repo's own: the
+CLI is a plain function (``run_experiment_cli``) with one handler per mode,
+and the legacy decorator is a thin adapter kept for custom figure modules.
+"""
 
 from __future__ import annotations
 
 import argparse
 import copy
-import glob
 import inspect
 import json
 import logging
 import os
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Union
+from typing import Callable, Dict, Iterator, List, Optional, Union
 
 import numpy as np
 
-import scamlgp_tpu.benchmarking.benchmarks
+import scamlgp_tpu.benchmarking.benchmarks as _benchmarks_pkg
 from scamlgp_tpu.benchmarking.benchmarks.api import Benchmark, SeedType
 from scamlgp_tpu.benchmarking.experiment_config_utils import (
     Experiment,
@@ -23,49 +28,59 @@ from scamlgp_tpu.benchmarking.experiment_config_utils import (
     hash_experiment_config,
 )
 from scamlgp_tpu.benchmarking.local_runner import REPO_ROOT
-from scamlgp_tpu.benchmarking.local_runner import main as submit_local_job_main
+from scamlgp_tpu.benchmarking.local_runner import main as _run_locally
 from scamlgp_tpu.bo.core import Evaluation
+
+logger = logging.getLogger("scamlgp_tpu")
+
+
+# --------------------------------------------------------------------------
+# benchmark discovery
+
+
+def _iter_benchmark_classes() -> Iterator[type]:
+    for name in dir(_benchmarks_pkg):
+        obj = getattr(_benchmarks_pkg, name)
+        if inspect.isclass(obj) and issubclass(obj, Benchmark):
+            yield obj
 
 
 def get_benchmarks() -> List[Benchmark]:
-    """All benchmark classes importable from the benchmarks package
-    (reference ``utils.py:29-43``)."""
-    importables = [getattr(scamlgp_tpu.benchmarking.benchmarks, name)
-                   for name in dir(scamlgp_tpu.benchmarking.benchmarks)]
+    """Every benchmark class the benchmarks package re-exports
+    (introspection-based discovery, reference ``utils.py:29-43``)."""
+    return list(_iter_benchmark_classes())
 
-    def is_benchmark(ref):
-        return inspect.isclass(ref) and issubclass(ref, Benchmark)
 
-    return list(filter(is_benchmark, importables))
+def _benchmarks_where(predicate: Callable[[Benchmark], bool]
+                      ) -> List[Benchmark]:
+    """Filter discovered benchmarks by a predicate on a default-constructed
+    instance; classes that cannot be instantiated here (e.g. tabular
+    benchmarks without their data blobs) are skipped with a warning."""
+    keep = []
+    for cls in _iter_benchmark_classes():
+        try:
+            if predicate(cls()):
+                keep.append(cls)
+        except (TypeError, ImportError, FileNotFoundError, ValueError):
+            logging.warning(f"Could not instantiate benchmark '{cls}'.")
+    return keep
 
 
 def get_benchmarks_with_search_space_dimensions(dimensions: int
                                                 ) -> List[Benchmark]:
-    """Benchmarks whose search space has the given dimensionality
+    """Benchmarks with a ``dimensions``-dimensional search space
     (reference ``utils.py:46-69``)."""
-
-    def dimensions_filter(benchmark):
-        try:
-            return len(benchmark().search_space) == dimensions
-        except (TypeError, ImportError, FileNotFoundError, ValueError):
-            logging.warning(f"Could not instantiate benchmark '{benchmark}'.")
-            return False
-
-    return list(filter(dimensions_filter, get_benchmarks()))
+    return _benchmarks_where(lambda b: len(b.search_space) == dimensions)
 
 
 def get_benchmarks_with_output_dimensions(dimensions: int) -> List[Benchmark]:
-    """Benchmarks with the given number of output dimensions
+    """Benchmarks with ``dimensions`` output dimensions
     (reference ``utils.py:72-95``)."""
+    return _benchmarks_where(lambda b: b.output_dimensions == dimensions)
 
-    def dimensions_filter(benchmark):
-        try:
-            return benchmark().output_dimensions == dimensions
-        except (TypeError, ImportError, FileNotFoundError, ValueError):
-            logging.warning(f"Could not instantiate benchmark '{benchmark}'.")
-            return False
 
-    return list(filter(dimensions_filter, get_benchmarks()))
+# --------------------------------------------------------------------------
+# meta-data noising
 
 
 def add_noise_to_meta_data_objectives(
@@ -74,84 +89,80 @@ def add_noise_to_meta_data_objectives(
         noise_is_relative: bool = False,
         seed: Optional[SeedType] = None
 ) -> Dict[Union[str, int], List[Evaluation]]:
-    """Add (optionally relative) Gaussian noise to all recorded meta-data
-    objectives (reference ``utils.py:98-127``)."""
+    """Copy of ``meta_data`` with i.i.d. Gaussian noise added to every
+    recorded objective value (reference ``utils.py:98-127``).
+
+    ``noise_scale`` is either one float applied to the ``"loss"`` objective
+    or a per-objective-name dict; with ``noise_is_relative`` the draw is
+    scaled by the clean value.  One rng serves the whole structure, so the
+    noise stream is a function of (iteration order, seed) exactly as in the
+    reference.
+    """
+    scales = ({"loss": noise_scale} if isinstance(noise_scale, float)
+              else dict(noise_scale))
     rng = np.random.default_rng(seed)
     noisy = copy.deepcopy(meta_data)
-
-    noise_scale_dict: Dict[str, float] = {}
-    if isinstance(noise_scale, float):
-        noise_scale_dict["loss"] = noise_scale
-    else:
-        noise_scale_dict.update(noise_scale)
-
-    for task_id in noisy.keys():
-        for ev in noisy[task_id]:
-            for k in ev.objectives.keys():
-                if ev.objectives[k] is None:
+    for evaluations in noisy.values():
+        for ev in evaluations:
+            for name, value in ev.objectives.items():
+                if value is None:
                     continue
-                noise = noise_scale_dict[k] * rng.standard_normal()
-                if noise_is_relative:
-                    noise *= ev.objectives[k]
-                ev.objectives[k] += noise
+                draw = scales[name] * rng.standard_normal()
+                ev.objectives[name] = value + draw * (
+                    value if noise_is_relative else 1.0)
     return noisy
 
 
+# --------------------------------------------------------------------------
+# results layout
+
+
 def get_module_string(func: Callable) -> str:
-    """Module string of the file containing ``func``
-    (reference ``utils.py:128-137``)."""
-    relative = (f"scamlgp_tpu{os.sep}benchmarking"
-                + inspect.getmodule(func).__file__.split(
-                    f"scamlgp_tpu{os.sep}benchmarking")[-1])
-    return relative.replace(os.sep, ".")[:-3]
+    """Dotted module path of the file defining ``func``, rooted at
+    ``scamlgp_tpu`` (reference ``utils.py:128-137``)."""
+    file = Path(inspect.getmodule(func).__file__)
+    parts = file.with_suffix("").parts
+    return ".".join(parts[parts.index("scamlgp_tpu"):])
 
 
-def _raise_on_missing_or_invalid_experiments_in_module(module: str):
-    experiments = get_experiments_config_from_module(module)
-    if not isinstance(experiments, dict):
-        raise ValueError(
-            f"Module {module}.EXPERIMENTS needs to be a dictionary but is "
-            f"{type(experiments)}.")
-    bad = {name: type(config) for name, config in experiments.items()
-           if not isinstance(config, Experiment)}
-    if bad:
-        raise ValueError(
-            f"Module {module}.EXPERIMENTS needs to contain exclusively "
-            f"Experiment instances but contains: {bad}")
-
-
-def _results_path(func_module: str, name: str, config_hash: str,
-                  output_root: Optional[Path] = None) -> Path:
+def _results_dir(module: str, name: str, config: Experiment,
+                 output_root: Optional[Path] = None) -> Path:
+    """``<root>/<module dirs>/results/<name>_<confighash>`` — the hashed
+    layout ``local_runner.main`` writes (``local_runner.py:126-134``)."""
     root = Path(output_root) if output_root is not None else REPO_ROOT
-    return (root / Path(*func_module.split(".")[:-1]) / "results"
-            / f"{name}_{config_hash}")
+    pkg_dir = Path(*module.split(".")[:-1])
+    return root / pkg_dir / "results" / (
+        f"{name}_{hash_experiment_config(config)}")
 
 
 def load_results_from_disk(configurations: Dict[str, Experiment],
                            func_module_string: str,
                            output_root: Optional[Path] = None) -> dict:
-    """Merge all per-seed result JSONs on disk per experiment
-    (reference ``utils.py:175-201``).  ``output_root`` mirrors
-    ``local_runner.main``'s parameter (tests write there)."""
-    all_results = {}
+    """Merge every per-seed result JSON found for each experiment into
+    ``{name: info_dict + {"studies": [...]}}`` (reference
+    ``utils.py:175-201``).  Experiments with no ``info.json`` on disk are
+    reported and skipped; no cross-file consistency check is attempted,
+    matching the reference."""
+    merged = {}
     for name, config in configurations.items():
-        config_hash = hash_experiment_config(config)
-        local_results_path = _results_path(func_module_string, name,
-                                           config_hash, output_root)
-        info_file_path = local_results_path / "info.json"
-        if not info_file_path.exists():
-            print(f"Unable to load results from {local_results_path}")
+        exp_dir = _results_dir(func_module_string, name, config, output_root)
+        try:
+            info = json.loads((exp_dir / "info.json").read_text("UTF-8"))
+        except FileNotFoundError:
+            print(f"Unable to load results from {exp_dir}")
             continue
-        with open(info_file_path, "r", encoding="UTF-8") as fh:
-            all_results[name] = json.load(fh)
-            all_results[name]["studies"] = []
-        for results_file in glob.glob(str(local_results_path / "*.json")):
-            if "info.json" in results_file:
-                continue
-            with open(results_file, "r", encoding="UTF-8") as fh:
-                results = json.load(fh)
-            all_results[name]["studies"].extend(results["studies"])
-    return all_results
+        info["studies"] = [
+            study
+            for f in sorted(exp_dir.glob("*.json"))
+            if f.name != "info.json"
+            for study in json.loads(f.read_text("UTF-8"))["studies"]
+        ]
+        merged[name] = info
+    return merged
+
+
+# --------------------------------------------------------------------------
+# submit | visualize | hash CLI
 
 
 def submit_local_job(config: Experiment, experiment_key: str,
@@ -159,85 +170,103 @@ def submit_local_job(config: Experiment, experiment_key: str,
                      hpobench_path: Optional[str] = None,
                      fcnet_path: Optional[str] = None,
                      force_host_runner: bool = False):
-    return submit_local_job_main(
+    return _run_locally(
         config=config, experiment_module=experiment_module,
         experiment_key=experiment_key, max_workers=max_workers,
         hpobench_path=hpobench_path, fcnet_path=fcnet_path,
         force_host_runner=force_host_runner)
 
 
+def _validate_experiments_table(module: str) -> None:
+    table = get_experiments_config_from_module(module)
+    if not isinstance(table, dict):
+        raise ValueError(f"Module {module}.EXPERIMENTS needs to be a "
+                         f"dictionary but is {type(table)}.")
+    wrong = {k: type(v) for k, v in table.items()
+             if not isinstance(v, Experiment)}
+    if wrong:
+        raise ValueError(f"Module {module}.EXPERIMENTS needs to contain "
+                         f"exclusively Experiment instances but contains: "
+                         f"{wrong}")
+
+
+def _default_workers(config: Experiment) -> int:
+    return min(64, os.cpu_count()) if config.compute == "PARALLEL" else 1
+
+
+def _submit(selected: Dict[str, Experiment], module: str,
+            args: argparse.Namespace) -> None:
+    for name, config in selected.items():
+        workers = (args.parallel_studies if args.parallel_studies is not None
+                   else _default_workers(config))
+        print(f"Starting {name} locally, using max {workers} processes")
+        submit_local_job(config=config, experiment_key=name,
+                         experiment_module=module,
+                         hpobench_path=args.hpobench, fcnet_path=args.fcnet,
+                         max_workers=workers,
+                         force_host_runner=args.host_runner)
+
+
+def _print_hashes(selected: Dict[str, Experiment], module: str,
+                  args: argparse.Namespace) -> None:
+    for name, config in selected.items():
+        print(hash_experiment_config(config), name)
+
+
+def run_experiment_cli(module: str, experiments: Dict[str, Experiment],
+                       plot_fn: Callable[[dict], object], argv=None):
+    """Command-line front end for one experiment module: ``submit`` runs the
+    selected experiments locally, ``visualize`` feeds merged on-disk results
+    to ``plot_fn``, ``hash`` prints config fingerprints (reference
+    ``utils.py:204-309``)."""
+    _validate_experiments_table(module)
+
+    parser = argparse.ArgumentParser(f"Benchmark experiment CLI ({module})")
+    modes = parser.add_subparsers(
+        title="modes", dest="mode", required=True,
+        help="Submitting jobs or visualizing results")
+    for mode, help_text in (("submit", "Submit configurations for "
+                                       "evaluation"),
+                            ("visualize", "Visualize results"),
+                            ("hash", "Print config fingerprints")):
+        sub = modes.add_parser(mode, help=help_text)
+        sub.add_argument("configurations", nargs="+",
+                         choices=["all"] + list(experiments))
+    submit = modes.choices["submit"]
+    submit.add_argument("--hpobench", type=str, default=None,
+                        help="Directory of HPOBench tabular data.")
+    submit.add_argument("--fcnet", type=str, default=None,
+                        help="Directory of FCNet tabular data.")
+    submit.add_argument("--parallel-studies", type=int, default=None,
+                        help="Override per-config parallel study count "
+                             "(default: 1, or min(64, cpus) when compute == "
+                             "PARALLEL on the CPU backend).")
+    submit.add_argument("--host-runner", action="store_true",
+                        help="Force the sequential per-study host runner "
+                             "even when the experiment could run as one "
+                             "vectorized on-device campaign (the default "
+                             "fast path on a TPU backend).")
+
+    args = parser.parse_args(argv)
+    selected = (dict(experiments) if "all" in args.configurations
+                else {k: experiments[k] for k in args.configurations})
+    print("Selected configurations:", ", ".join(selected))
+
+    if args.mode == "submit":
+        _submit(selected, module, args)
+    elif args.mode == "hash":
+        _print_hashes(selected, module, args)
+    else:
+        return plot_fn(load_results_from_disk(selected, module))
+
+
 def with_experiment_cli_and_data_loading(func):
-    """Decorator providing the ``submit | visualize | hash`` CLI
-    (reference ``utils.py:204-309``)."""
+    """Wrap a ``main(results)`` plotting function into the experiment CLI
+    (adapter over ``run_experiment_cli`` for modules with bespoke plots —
+    the standard regret grids use ``configurations._shared.regret_cli``)."""
 
     def wrapper(available_configs: Dict[str, Experiment], argv=None):
-        func_module_string = get_module_string(func)
-        _raise_on_missing_or_invalid_experiments_in_module(func_module_string)
-
-        parser = argparse.ArgumentParser(
-            f"Benchmark experiment CLI ({func_module_string})")
-        subparsers = parser.add_subparsers(
-            title="modes", dest="mode", required=True,
-            help="Submitting jobs or visualizing results")
-
-        submit_parser = subparsers.add_parser(
-            "submit", help="Submit configurations for evaluation")
-        submit_parser.add_argument(
-            "configurations", nargs="+",
-            choices=["all"] + list(available_configs.keys()))
-        submit_parser.add_argument("--hpobench", type=str, default=None,
-                                   help="Directory of HPOBench tabular data.")
-        submit_parser.add_argument("--fcnet", type=str, default=None,
-                                   help="Directory of FCNet tabular data.")
-        submit_parser.add_argument(
-            "--parallel-studies", type=int, default=None,
-            help="Override per-config parallel study count (default: 1, or "
-            "min(64, cpus) when compute == PARALLEL on the CPU backend).")
-        submit_parser.add_argument(
-            "--host-runner", action="store_true",
-            help="Force the sequential per-study host runner even when the "
-            "experiment could run as one vectorized on-device campaign "
-            "(the default fast path on a TPU backend).")
-
-        visualize_parser = subparsers.add_parser("visualize",
-                                                 help="Visualize results")
-        visualize_parser.add_argument(
-            "configurations", nargs="+",
-            choices=["all"] + list(available_configs.keys()))
-
-        hash_parser = subparsers.add_parser("hash",
-                                            help="Print config fingerprints")
-        hash_parser.add_argument(
-            "configurations", nargs="+",
-            choices=["all"] + list(available_configs.keys()))
-
-        args = parser.parse_args(argv)
-
-        if "all" in args.configurations:
-            selected = available_configs
-        else:
-            selected = {n: available_configs[n] for n in args.configurations}
-        print("Selected configurations:", ", ".join(selected.keys()))
-
-        if args.mode == "submit":
-            for name, config in selected.items():
-                max_workers = (
-                    (min(64, os.cpu_count())
-                     if config.compute == "PARALLEL" else 1)
-                    if args.parallel_studies is None else args.parallel_studies)
-                print(f"Starting {name} locally, "
-                      f"using max {max_workers} processes")
-                submit_local_job(
-                    config=config, experiment_key=name,
-                    experiment_module=func_module_string,
-                    hpobench_path=args.hpobench, fcnet_path=args.fcnet,
-                    max_workers=max_workers,
-                    force_host_runner=args.host_runner)
-        elif args.mode == "hash":
-            for name, config in selected.items():
-                print(hash_experiment_config(config), name)
-        else:
-            results = load_results_from_disk(selected, func_module_string)
-            return func(results)
+        return run_experiment_cli(get_module_string(func), available_configs,
+                                  func, argv)
 
     return wrapper

@@ -100,6 +100,11 @@ def advi(log_prob_fn: Callable, init_params, key, num_steps: int = 300,
         g_ls = -(jnp.einsum("s,sd,sd->d", wt, grads, eps) * sigma + 1.0)
         value = -(jnp.sum(wt * jnp.where(ok, vals, 0.0))
                   + jnp.sum(q.log_sigma))
+        # all draws bad: wt is all-zero, so the masked value stays finite
+        # (entropy term only) and the gradient is entropy-only (g_ls = -1),
+        # which would just inflate sigma.  Poison the value instead so the
+        # step's skip-guard reverts the update like any non-finite step.
+        value = jnp.where(jnp.sum(ok) > 0, value, jnp.inf)
         return value, MeanFieldQ(mu=g_mu, log_sigma=g_ls)
 
     opt = optax.chain(optax.clip_by_global_norm(100.0), optax.adam(lr))

@@ -35,12 +35,22 @@ from scamlgp_tpu.ops import linalg
 
 #: host-loop execution pinning cadence: fetch one scalar every this many
 #: iterations.  On the axon tunnel, blocked-but-unfetched chains are
-#: deferred (E deep queues stall at large S) while every fetch pays a
-#: ~25 s sync regardless of queued work — 8 balances queue depth against
-#: sync amortization (r4 bisect; override via SCAMLGP_PIN_EVERY).
+#: deferred (deep queues pile up at large S) and a degraded tunnel can
+#: turn one deferred fetch into a minutes-long stall.  Measured on a
+#: healthy tunnel (docs/STALL_PROBE_r5.json): pinning EVERY iteration at
+#: S=128 costs nothing (2.82 s/iter vs 3.02 deferred), so the default of
+#: 8 keeps the queue shallow purely to bound the damage when the tunnel
+#: degrades (override via SCAMLGP_PIN_EVERY).
 import os as _os_mod
 
-_PIN_EVERY = int(_os_mod.environ.get("SCAMLGP_PIN_EVERY", "40"))
+_PIN_EVERY = int(_os_mod.environ.get("SCAMLGP_PIN_EVERY", "8"))
+
+#: per-iteration wall clock (seconds) of the most recent host-loop campaign,
+#: including any pin sync that iteration paid.  Appended by both the chunked
+#: and unchunked loops; cleared at the start of each ``run_campaign`` call.
+#: Costs one ``perf_counter`` pair per iteration — kept always-on so stall
+#: diagnostics (``scripts/bench_stall_probe.py``) see real campaigns.
+ITER_TIMES: list = []
 
 
 @dataclasses.dataclass(frozen=True)
@@ -272,19 +282,22 @@ def _auto_study_chunk(S: int, N: int, backend: str, has_mesh: bool,
     The axon TPU backend faults (infra-level UNAVAILABLE kernel fault) on
     single lock-step campaign programs past ~8 studies at N >= 256
     (bisected round 3, commit 5c8a7ba), so large-N campaigns on a single
-    chip run as sequential chunks of 8.  Large study batches are also
-    pathological regardless of N (r4: S=128 Branin campaigns ran at >20 s
-    per iteration through the tunnel while the same workload in 16-study
-    chunks matched the healthy ~seconds/iteration profile), so any S > 16
-    chunks to 16.  Meshes shard the study axis already; the device loop
-    compiles one program per study anyway.
+    chip run as sequential chunks of 8.
+
+    Round 4 additionally chunked any S > 16 to 16 after S=128 campaigns
+    stalled at >20 s/iteration; the round-5 probe
+    (``docs/STALL_PROBE_r5.json``) showed that stall to be an EPISODIC
+    tunnel degradation, not a property of wide study batches — on a
+    healthy tunnel S=128 unchunked runs at 2.8 s/iteration (0.022
+    s/study/iter) while 8x16-study chunks cost 2x more per study
+    (0.045 s/study/iter).  The rule was therefore dropped: wide batches
+    run unchunked, damage from a degraded tunnel is bounded by the pin
+    cadence + checkpoint/resume instead.
     """
     if backend != "tpu" or has_mesh or loop != "host":
         return 0
     if N >= 256:
         return 8
-    if S > 16:
-        return 16
     return 0
 
 
@@ -348,6 +361,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
     """
     if cfg.fit_method not in ("map", "hmc", "nuts", "vi"):
         raise ValueError(f"Unknown fit_method {cfg.fit_method!r}")
+    ITER_TIMES.clear()
     source_cfg = source_cfg or gp.source_gp_config()
     target_cfg = target_cfg or gp.target_gp_config()
 
@@ -740,7 +754,20 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             def sl(tree):
                 return jax.tree_util.tree_map(lambda l: l[c0:c1], tree)
 
-            i0 = int(done_per_study[c0:c1].min())
+            d_c = done_per_study[c0:c1]
+            if int(d_c.max()) != int(d_c.min()):
+                # mixed progress inside one chunk means the checkpoint was
+                # written with different chunk boundaries: completed studies
+                # would silently re-run from i0=0 against their full mask
+                # (fits seeing future observations).  Mirror the unchunked
+                # path's guard.
+                raise ValueError(
+                    "checkpoint has per-study progress at different "
+                    f"iterations within study chunk [{c0}, {c1}) "
+                    f"(min {int(d_c.min())}, max {int(d_c.max())}); it was "
+                    "written with a different study_chunk — resume with the "
+                    "same study_chunk setting as the run that wrote it")
+            i0 = int(d_c.min())
             if i0 >= E:
                 continue
             st_c, tp_c, pr = sl(stacks), sl(task_params), sl(params)
@@ -749,6 +776,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
             ks = study_keys[c0:c1]
             for i in range(i0, E):
                 with GLOBAL_TIMER("campaign_iteration"):
+                    _it0 = __import__("time").perf_counter()
                     Xb, yb, yc, mk, pr, ks = iteration(
                         st_c, tp_c, Xb, yb, yc, mk, pr, ks, i)
                     # periodic host VALUE fetch, not block_until_ready:
@@ -759,6 +787,30 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                     # iterations, not every one (bisected r4)
                     if (i + 1) % _PIN_EVERY == 0 or i + 1 == E:
                         _ = float(yb[0, i])
+                    ITER_TIMES.append(
+                        __import__("time").perf_counter() - _it0)
+                if (checkpoint_path is not None and i + 1 < E
+                        and (i + 1) % checkpoint_every == 0):
+                    # mid-chunk save: write the chunk's partial progress back
+                    # into the full buffers and persist — the mask-derived
+                    # resume (i0 = per-chunk min of completed iterations)
+                    # already handles checkpoints taken here, so a
+                    # pre-emption loses at most checkpoint_every iterations
+                    # instead of a whole chunk.
+                    Xbuf = Xbuf.at[c0:c1].set(Xb)
+                    ybuf = ybuf.at[c0:c1].set(yb)
+                    yclean = yclean.at[c0:c1].set(yc)
+                    mask = mask.at[c0:c1].set(mk)
+                    params = jax.tree_util.tree_map(
+                        lambda full, part: full.at[c0:c1].set(part),
+                        params, pr)
+                    study_keys = study_keys.at[c0:c1].set(ks)
+                    ckpt.save_pytree(
+                        checkpoint_path,
+                        (task_params, meta_data, Xbuf, ybuf, yclean, mask,
+                         params, study_keys,
+                         jnp.asarray(int(jnp.sum(mask, axis=1).min()),
+                                     jnp.int32)))
             Xbuf = Xbuf.at[c0:c1].set(Xb)
             ybuf = ybuf.at[c0:c1].set(yb)
             yclean = yclean.at[c0:c1].set(yc)
@@ -807,6 +859,7 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                 _t2 = __import__("time").perf_counter()
                 print(f"iter {i}: dispatch {_t1 - _t0:.3f}s "
                       f"block {_t2 - _t1:.3f}s", flush=True)
+            ITER_TIMES.append(__import__("time").perf_counter() - _t0)
         stopping = stop_after is not None and i + 1 >= start + stop_after
         if (checkpoint_path is not None
                 and ((i + 1) % checkpoint_every == 0 or i + 1 == E

@@ -55,10 +55,21 @@ def main():
                          "single campaign programs past ~8 studies at "
                          "N=256; studies are independent, so chunked "
                          "campaigns are statistically equivalent)")
+    ap.add_argument("--checkpoint", action="store_true",
+                    help="checkpoint each (value, chunk) campaign next to "
+                         "--out's chunk cache so a fault/stall mid-campaign "
+                         "resumes at checkpoint granularity instead of "
+                         "recomputing the whole value")
     ap.add_argument("--out", default=None, help="JSON output path")
     args = ap.parse_args()
 
     import jax
+
+    # persistent compile cache: tpuq retries and repeated grid points skip
+    # the 20-40 s XLA compiles
+    os.makedirs(".jaxcache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", ".jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -148,11 +159,16 @@ def main():
                    if len(seeds) % args.meta_fit_chunks == 0 else 1)
             key = (jax.random.PRNGKey(0) if c0 == 0
                    else jax.random.fold_in(jax.random.PRNGKey(0), c0))
+            ckpt_path = (os.path.join(cache_dir, f"v{v}_c{c0}.ckpt")
+                         if args.checkpoint and cache_dir else None)
             res = run_campaign(fn, tps, md, key,
-                               cfg=cfg, meta_fit_chunks=mfc)
+                               cfg=cfg, meta_fit_chunks=mfc,
+                               checkpoint_path=ckpt_path)
             part = np.asarray(simple_regret(res.y_clean, optima))
             if cache:
                 np.save(cache, part)
+            if ckpt_path and os.path.exists(ckpt_path):
+                os.remove(ckpt_path)  # value complete; cache .npy persists
             reg_parts.append(part)
         reg = np.concatenate(reg_parts, axis=0)
         # average cumulative regret per study, then mean +/- SEM over studies

@@ -75,6 +75,11 @@ def main():
 
     import jax
 
+    # persistent compile cache: tpuq retries skip the 20-40 s XLA compiles
+    os.makedirs(".jaxcache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", ".jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.cpu)
