@@ -176,9 +176,14 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
                 Buffers are padded to power-of-two capacity buckets and
                 every bucket boundary recompiles the fit/acquisition
                 programs (measured ~25 s each at tabular scale,
-                docs/SEQ_DRIVER_TPU.json); pre-sizing to the final bucket
-                removes all intermediate recompiles.  The study runner
-                passes its eval budget automatically.
+                docs/SEQ_DRIVER_TPU.json).  With a hint, all bucket
+                programs up to the hint are compiled ONCE at init (cheap
+                dummy executions; persistent-cache friendly) while every
+                iteration still runs at its current bucket's size — round
+                4's pre-size-to-max approach made each iteration pay for
+                the final shape, a measured 70% steady-state slowdown
+                (docs/SEQ_DRIVER_TPU_HINT.json).  The study runner passes
+                its eval budget automatically.
         """
         super().__init__(search_space, objective, seed)
         self.logger = logger or logging.getLogger("scamlgp_tpu")
@@ -227,13 +232,14 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
         # --- target model on empty data (optimizer.py:135-141) ---------
         self.model = self._build_model(
             np.zeros((0, self._n_features)), np.zeros((0,)), params=None)
+        if self.capacity_hint:
+            self._precompile_buckets()
 
     # ------------------------------------------------------------------
     def _build_model(self, X: np.ndarray, y: np.ndarray,
                      params) -> model_lib.ScaMLGP:
         n = X.shape[0]
-        floor = self.capacity_hint or 1
-        cap = _next_capacity(max(n, floor, 1))
+        cap = _next_capacity(max(n, 1))
         Xp = np.zeros((cap, self._n_features))
         yp = np.zeros((cap,))
         mp = np.zeros((cap,))
@@ -246,11 +252,73 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
             jnp.asarray(mp, self.dtype), target_cfg=self.target_cfg,
             params=params, **self.model_kwargs)
 
+    def _precompile_buckets(self):
+        """Compile the fit + acquisition programs for every capacity bucket
+        up to ``capacity_hint``, so mid-loop bucket boundaries hit warm jit
+        caches instead of paying 20-40 s compiles.
+
+        Works by running one throwaway refit + proposal on dummy data at
+        each bucket size: the jitted entry points are module-level
+        (``models/scamlgp.py``, ``bo/optimize.py``), so these executions
+        populate exactly the caches the real loop uses.  Dummy executions
+        are a few hundred ms each on-chip; compiles also land in the
+        persistent compile cache when one is configured."""
+        saved = (self.model, self._hyper_samples, self.X, self.losses)
+        caps, cap = [], 8
+        top = _next_capacity(max(self.capacity_hint, 1))
+        while cap <= top:
+            caps.append(cap)
+            cap *= 2
+        self.logger.info("precompiling %d capacity buckets: %s",
+                         len(caps), caps)
+        try:
+            k = jax.random.PRNGKey(0)
+            for cap in caps:
+                rng = np.random.default_rng(0)
+                X = rng.uniform(size=(cap, self._n_features))
+                y = rng.standard_normal(cap)
+                self.X = [x for x in X]
+                self.losses = [float(v) for v in y]
+                self.model = self._build_model(X, y, params=None)
+                self._refit(k)
+                self._propose(k)
+        finally:
+            self.model, self._hyper_samples, self.X, self.losses = saved
+
     def _acquisition(self) -> acq_lib.AcquisitionFunction:
         if self._af_factory is None:
             return acq_lib.UpperConfidenceBound()
         af = self._af_factory
         return af() if isinstance(af, type) else af
+
+    def _propose(self, k_af):
+        """Model-based acquisition maximization over the current model
+        (call stack 3.2); shared by the BO loop and bucket precompilation."""
+        from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
+
+        af = self._acquisition()
+        finite = [l for l in self.losses if np.isfinite(l)]
+        best_f = jnp.asarray(min(finite) if finite else np.inf, self.dtype)
+        if (self.fit_method in ("hmc", "nuts", "vi")
+                and self._hyper_samples is not None):
+            states = jax.vmap(
+                lambda p: model_lib.scamlgp_acq_state(
+                    self.model, self.source_cfg, self.target_cfg,
+                    params=p))(self._hyper_samples)
+            with GLOBAL_TIMER("acquisition"):
+                return acqopt.optimize_acqf(
+                    _acq_value_hmc,
+                    (self.source_cfg, self.target_cfg, af),
+                    (self.model, states, best_f),
+                    self._n_features, k_af,
+                    dtype=self.dtype, **self.af_optimizer_kwargs)
+        state = model_lib.scamlgp_acq_state(
+            self.model, self.source_cfg, self.target_cfg)
+        with GLOBAL_TIMER("acquisition"):
+            return acqopt.optimize_acqf(
+                _acq_value, (self.source_cfg, self.target_cfg, af),
+                (self.model, state, best_f), self._n_features, k_af,
+                dtype=self.dtype, **self.af_optimizer_kwargs)
 
     # ------------------------------------------------------------------
     def generate_evaluation_specification(self) -> EvaluationSpecification:
@@ -265,33 +333,8 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
             config = self.search_space.sample()
             optional_info = {"model_based_pick": False}
         else:
-            from scamlgp_tpu.utils.profiling import GLOBAL_TIMER
-
-            af = self._acquisition()
-            finite = [l for l in self.losses if np.isfinite(l)]
-            best_f = jnp.asarray(min(finite) if finite else np.inf, self.dtype)
             self._key, k_af = jax.random.split(self._key)
-            if (self.fit_method in ("hmc", "nuts", "vi")
-                    and self._hyper_samples is not None):
-                states = jax.vmap(
-                    lambda p: model_lib.scamlgp_acq_state(
-                        self.model, self.source_cfg, self.target_cfg,
-                        params=p))(self._hyper_samples)
-                with GLOBAL_TIMER("acquisition"):
-                    res = acqopt.optimize_acqf(
-                        _acq_value_hmc,
-                        (self.source_cfg, self.target_cfg, af),
-                        (self.model, states, best_f),
-                        self._n_features, k_af,
-                        dtype=self.dtype, **self.af_optimizer_kwargs)
-            else:
-                state = model_lib.scamlgp_acq_state(
-                    self.model, self.source_cfg, self.target_cfg)
-                with GLOBAL_TIMER("acquisition"):
-                    res = acqopt.optimize_acqf(
-                        _acq_value, (self.source_cfg, self.target_cfg, af),
-                        (self.model, state, best_f), self._n_features, k_af,
-                        dtype=self.dtype, **self.af_optimizer_kwargs)
+            res = self._propose(k_af)
             vec = impute_nans_with_constant(np.asarray(res.x, np.float64))
             config = self.search_space.from_numerical(vec)
             optional_info = {"model_based_pick": True}
@@ -347,6 +390,11 @@ class ScaMLGPBO(SingleObjectiveOptimizer):
         self.model = self._build_model(Xf, yf, params=warm)
 
         self._key, k_fit = jax.random.split(self._key)
+        self._refit(k_fit, warm)
+
+    def _refit(self, k_fit, warm=None):
+        """Refit the current model in the configured fit mode (call stack
+        3.3); shared by ``report`` and bucket precompilation."""
         if self.fit_method == "vi":
             from scamlgp_tpu.models import vi as vi_lib
             from scamlgp_tpu.utils.profiling import GLOBAL_TIMER

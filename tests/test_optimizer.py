@@ -124,16 +124,19 @@ def test_greater_is_better_objective(seed):
     assert np.isfinite(mean[0]) and std[0] > 0
 
 
-def test_capacity_hint_presizes_buffers():
-    """capacity_hint pads target buffers to the final bucket up front, so
-    the BO loop never crosses a bucket boundary (each boundary recompiles
-    the fit/acquisition programs — measured ~25 s at tabular scale,
-    docs/SEQ_DRIVER_TPU.json)."""
+def test_capacity_hint_precompiles_buckets():
+    """capacity_hint compiles every capacity bucket's fit + acquisition
+    program at init while the loop keeps running at its CURRENT bucket's
+    size — round 4's pre-size-to-max made every iteration pay for the
+    final shape, a measured 70% steady-state slowdown
+    (docs/SEQ_DRIVER_TPU_HINT.json vs SEQ_DRIVER_TPU.json)."""
     import numpy as np
 
+    from scamlgp_tpu.bo import optimize as acqopt
     from scamlgp_tpu.bo.core import Evaluation, Objective
     from scamlgp_tpu.bo.optimizer import ScaMLGPBO
     from scamlgp_tpu.bo.space import ContinuousParameter, ParameterSpace
+    from scamlgp_tpu.models import scamlgp as model_lib
 
     space = ParameterSpace()
     space.add(ContinuousParameter("x", (0.0, 1.0)))
@@ -141,16 +144,24 @@ def test_capacity_hint_presizes_buffers():
                              objectives={"loss": float((u - 0.4) ** 2)})
                   for u in np.linspace(0.1, 0.9, 6)]}
     opt = ScaMLGPBO(space, Objective("loss", False), meta, seed=0,
-                    capacity_hint=20, num_restarts_log_likelihood=1,
+                    capacity_hint=12, num_restarts_log_likelihood=1,
                     num_fit_steps=5,
                     af_optimizer_kwargs={"raw_samples": 16,
                                          "num_restarts": 2,
                                          "num_steps": 3})
-    assert opt.model.train_X.shape[0] == 32  # next_capacity(20)
+    # the empty model sits in the MINIMUM bucket, not the hint's
+    assert opt.model.train_X.shape[0] == 8
+    fit_cache = model_lib.fit_scamlgp._cache_size()
+    acq_cache = acqopt._optimize._cache_size()
+    # drive the loop across the 8 -> 16 bucket boundary
     caps = set()
-    for _ in range(3):
+    for _ in range(10):
         spec = opt.generate_evaluation_specification()
         opt.report(Evaluation(configuration=spec.configuration,
                               objectives={"loss": 0.5}))
         caps.add(opt.model.train_X.shape[0])
-    assert caps == {32}
+    assert caps == {8, 16}  # buffers track the data, not the hint
+    # crossing the boundary hit programs precompiled at init — no new
+    # traces/compiles of the fit or acquisition entry points
+    assert model_lib.fit_scamlgp._cache_size() == fit_cache
+    assert acqopt._optimize._cache_size() == acq_cache
