@@ -96,6 +96,50 @@ def fit_map_restarts(objective: Callable, init_stack, num_steps: int = 60,
     return FitResult(params=params, objective=values[best], all_objectives=values)
 
 
+def refine_map_f64_cpu(cfg, params, X, y, mask=None, num_steps: int = 40,
+                       memory_size: int = 10, **objective_kwargs):
+    """Polish a fitted GP solution against the exact f64 MAP objective on
+    the host CPU backend (the 'f64 only at the final refit' island).
+
+    At N >= 512 the f32 MLL surface is distorted enough that the fitted
+    noise saturates at its 1e-2 Interval ceiling, and the in-graph
+    ``chol64`` island crashes the axon TPU compiler at that size
+    (``docs/PROBE_CHOL64_r4.json``).  The CPU backend coexists with the
+    TPU in-process, so the *final* refit runs there: one f64 L-BFGS
+    descent from the f32 MAP solution.  O(num_steps) host Choleskys —
+    ~milliseconds at N=512 — against bit-accurate f64 numerics.
+
+    Requires ``jax_enable_x64``.  Returns ``FitResult`` with f64 raw
+    params (callers cast back to their working dtype as needed).
+    """
+    if not jax.config.jax_enable_x64:
+        raise ValueError("refine_map_f64_cpu needs jax_enable_x64 "
+                         "(f64-island mode)")
+    from scamlgp_tpu.models import gp as gp_lib
+
+    cpu = jax.devices("cpu")[0]
+
+    def f64(t):
+        return None if t is None else jax.device_put(
+            jnp.asarray(t, jnp.float64), cpu)
+
+    X64, y64 = f64(X), f64(y)
+    mask64 = f64(mask)
+    p64 = jax.tree_util.tree_map(f64, params)
+    kw64 = {k: (f64(v) if isinstance(v, jnp.ndarray) else v)
+            for k, v in objective_kwargs.items()}
+
+    def objective(p):
+        return gp_lib.map_objective(cfg, p, X64, y64, mask=mask64, **kw64)
+
+    with jax.default_device(cpu):
+        best, val = jax.jit(partial(
+            _lbfgs_minimize, objective, num_steps=num_steps,
+            memory_size=memory_size))(p64)
+    return FitResult(params=best, objective=val,
+                     all_objectives=val[None])
+
+
 def stack_restarts(warm_params, sampled_params_stack):
     """Prepend a warm-start pytree to a prior-sampled restart stack."""
     return jax.tree_util.tree_map(

@@ -133,3 +133,53 @@ def test_fit_masked_equals_dense(rng):
     np.testing.assert_allclose(
         np.asarray(gp.constrain(cfg, dense.params).lengthscale),
         np.asarray(gp.constrain(cfg, masked.params).lengthscale), rtol=1e-2)
+
+
+def test_refine_map_f64_cpu_matches_f64_fit(rng):
+    """f32 fit + f64-CPU polish lands on the f64 objective's optimum (the
+    large-N fit-accuracy island, ``models/fit.py::refine_map_f64_cpu`` —
+    at N >= 512 on the TPU backend the f32 noise pins at its ceiling and
+    chol64 crashes the compiler; validated at scale by
+    scripts/validate_large_n_fit.py, here at test size)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scamlgp_tpu.models import fit as fit_lib
+    from scamlgp_tpu.models import gp
+
+    d, n = 2, 48
+    key = jax.random.PRNGKey(11)
+    k_x, k_f, k_r = jax.random.split(key, 3)
+    cfg = gp.source_gp_config()
+    X = jax.random.uniform(k_x, (n, d), jnp.float64)
+    true = gp.Constrained(lengthscale=jnp.full((d,), 0.4, jnp.float64),
+                          outputscale=jnp.asarray(1.0, jnp.float64),
+                          noise=jnp.asarray(1e-3, jnp.float64))
+    K = gp.gram(cfg, true, X) + true.noise * jnp.eye(n, dtype=jnp.float64)
+    y = jnp.linalg.cholesky(K) @ jax.random.normal(k_f, (n,), jnp.float64)
+
+    warm = gp.init_params(cfg, d, jnp.float64)
+    sampled = jax.vmap(lambda k: gp.sample_params(cfg, k, d, jnp.float64))(
+        jax.random.split(k_r, 2))
+    stack64 = fit_lib.stack_restarts(warm, sampled)
+    stack32 = jax.tree_util.tree_map(
+        lambda l: l.astype(jnp.float32), stack64)
+
+    oracle = fit_lib.fit_map_restarts(
+        lambda p: gp.map_objective(cfg, p, X, y), stack64, num_steps=50)
+    f32 = fit_lib.fit_map_restarts(
+        lambda p: gp.map_objective(cfg, p, X.astype(jnp.float32),
+                                   y.astype(jnp.float32)),
+        stack32, num_steps=50)
+    polished = fit_lib.refine_map_f64_cpu(cfg, f32.params, X, y,
+                                          num_steps=40)
+
+    assert polished.params.raw_noise.dtype == jnp.float64
+    # the polish reaches (or beats) the oracle's f64 objective
+    assert float(polished.objective) <= float(oracle.objective) + 1e-3
+    c_o = gp.constrain(cfg, oracle.params)
+    c_p = gp.constrain(cfg, polished.params)
+    np.testing.assert_allclose(np.asarray(c_p.noise),
+                               np.asarray(c_o.noise), rtol=0.05)
+    np.testing.assert_allclose(np.asarray(c_p.lengthscale),
+                               np.asarray(c_o.lengthscale), rtol=0.05)
