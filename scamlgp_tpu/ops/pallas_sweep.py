@@ -48,6 +48,15 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 #: (scripts/bench_sweep_n.py variant 'pair').
 _PAIR_STEP = False
 
+#: serial step variant: "select" (classical: FMA + two border selects, 5
+#: logical passes/step) or "fused" (border writes folded into the bulk
+#: pass as a second rank-1 term, 3 passes/step — see _sweep_kernel_fused).
+#: Chosen by the measured A/B at the headline shape
+#: (scripts/bench_sweep_n.py variants 'elementary' vs 'fused').
+import os as _os
+
+_STEP_VARIANT = _os.environ.get("SCAMLGP_SWEEP_STEP", "select")
+
 #: above this N, the direct XLA Cholesky MLL wins and callers should not use
 #: the sweep at all.  Measured on v5e (value+grad MLL evals/s,
 #: scripts/bench_sweep_n.py):
@@ -119,6 +128,49 @@ def _sweep_kernel(a_ref, inv_ref, logdet_ref):
         A = A - cd * row                                  # rank-1 (FMA pass)
         A = jnp.where(is_lane, jnp.broadcast_to(cd, A.shape), A)
         A = jnp.where(is_sub, jnp.broadcast_to(row_fix, A.shape), A)
+        logdet = logdet + jnp.log(d[:, :, 0])
+        return A, logdet
+
+    A, logdet = jax.lax.fori_loop(0, N, step,
+                                  (A0, jnp.zeros((G, 1), A0.dtype)))
+    inv_ref[:] = -A
+    logdet_ref[:] = logdet
+
+
+def _sweep_kernel_fused(a_ref, inv_ref, logdet_ref):
+    """Elementary sweep with the border writes folded into the bulk pass.
+
+    The classical step is 'rank-1 FMA + overwrite column k + overwrite
+    row k' — one FMA traversal plus two select traversals.  Algebraically
+    the whole update is the sum of exactly TWO rank-1 terms:
+
+        A' = A + cd (x) (e_k - row) + e_k^T (x) (row/d - e_k (1/d + 2))
+
+    (cd = col/d; verified per element class: off-border reproduces
+    A - cd*row, row k becomes row/d with -1/d at the pivot, column k
+    becomes cd — the same values the select version writes.)  So each
+    step is 2 masked-reduce extractions + ONE 2-FMA traversal: 3 logical
+    passes instead of 5.  Selected via ``_STEP_VARIANT = 'fused'``;
+    equivalence with the select kernel is pinned by tests/test_sweep.py.
+    """
+    G, N, _ = a_ref.shape
+    A0 = a_ref[:]
+
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)  # lanes
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (1, N, 1), 1)  # sublanes
+
+    def step(k, carry):
+        A, logdet = carry                                 # logdet: (G, 1)
+        e_lane = (col_idx == k).astype(A.dtype)           # (1, 1, N)
+        e_sub = (row_idx == k).astype(A.dtype)            # (1, N, 1)
+        col = jnp.sum(A * e_lane, axis=2, keepdims=True)  # (G, N, 1)
+        row = jnp.sum(A * e_sub, axis=1, keepdims=True)   # (G, 1, N)
+        d = jnp.sum(row * e_lane, axis=2, keepdims=True)  # (G, 1, 1)
+        inv_d = 1.0 / d
+        cd = col * inv_d                                  # (G, N, 1)
+        u = e_lane - row                                  # (G, 1, N)
+        w = row * inv_d - e_lane * (inv_d + 2.0)          # (G, 1, N)
+        A = A + cd * u + e_sub * w                        # one traversal
         logdet = logdet + jnp.log(d[:, :, 0])
         return A, logdet
 
@@ -378,6 +430,8 @@ def _sweep_inverse_impl_inner(A):
         kernel = _sweep_kernel_blocked
     elif _PAIR_STEP and N % 2 == 0:
         kernel = _sweep_kernel_pair
+    elif _STEP_VARIANT == "fused":
+        kernel = _sweep_kernel_fused
     else:
         kernel = _sweep_kernel
     inv, logdet = pl.pallas_call(

@@ -69,9 +69,15 @@ def bench_variant(B, N, variant, rounds=10, pin_noise=False):
     # select the kernel variant by overriding the module thresholds
     saved = (ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N, ps._VMEM_BUDGET,
              ps._PAIR_STEP, pbc._MIN_N, pbc._MAX_N)
+    saved_step = ps._STEP_VARIANT
     saved_profitable = inverse_mll.inverse_mll_profitable
     if variant == "elementary":
         ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N = 10**9, 10**9
+        pbc._MIN_N = 10**9
+        method = "sweep"
+    elif variant == "fused":
+        ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N = 10**9, 10**9
+        ps._STEP_VARIANT = "fused"
         pbc._MIN_N = 10**9
         method = "sweep"
     elif variant == "pair":
@@ -126,6 +132,7 @@ def bench_variant(B, N, variant, rounds=10, pin_noise=False):
     finally:
         (ps._BLOCKED_MIN_N, ps._SWEEP_MAX_N, ps._VMEM_BUDGET,
          ps._PAIR_STEP, pbc._MIN_N, pbc._MAX_N) = saved
+        ps._STEP_VARIANT = saved_step
         inverse_mll.inverse_mll_profitable = saved_profitable
 
 

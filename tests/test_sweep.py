@@ -63,6 +63,21 @@ def test_pair_sweep_kernel_matches_elementary(rng):
                                atol=5e-5)
 
 
+def test_fused_sweep_kernel_matches_elementary(rng):
+    """The fused step folds the two border selects into the bulk pass as a
+    second rank-1 term (A + cd(x)(e_k - row) + e_k^T(x)(row/d - e_k(1/d+2)))
+    — algebraically identical to the select kernel, to roundoff."""
+    A = _spd_batch(rng, 8, 32)
+    inv1, ld1 = _run_kernel(ps._sweep_kernel, A, 4)
+    inv2, ld2 = _run_kernel(ps._sweep_kernel_fused, A, 4)
+    np.testing.assert_allclose(np.asarray(inv2), np.asarray(inv1),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld2), np.asarray(ld1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(inv2),
+                               np.linalg.inv(A.astype(np.float64)),
+                               atol=5e-5)
+
+
 def test_blocked_sweep_kernel_matches_numpy(rng):
     A = _spd_batch(rng, 4, 128)
     inv, logdet = _run_kernel(ps._sweep_kernel_blocked, A, 2)
