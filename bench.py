@@ -164,6 +164,17 @@ def main():
     vs = (tpu / cpu) if cpu else None
     fpe = flops_per_eval()
     achieved = tpu * fpe
+    # measured VPU ceiling (docs/VPU_CEILING.json, scripts/bench_vpu_ceiling
+    # — a pure multiply-add loop at the sweep kernel's tile shapes: the
+    # speed-of-light for any N-step rank-1 scheme at these shapes)
+    pct_vpu = None
+    try:
+        with open("docs/VPU_CEILING.json") as fh:
+            ceil = json.load(fh)
+        if ceil.get("N") == N and ceil.get("backend") == "tpu":
+            pct_vpu = round(100.0 * tpu / ceil["ceiling_evals_per_s"], 1)
+    except (OSError, KeyError, ValueError):
+        pass
     print(json.dumps({
         "metric": "batched_mll_cholesky_evals_per_s_per_chip",
         "value": round(tpu, 2),
@@ -173,6 +184,7 @@ def main():
         "achieved_tflops": round(achieved / 1e12, 4),
         "mfu_bf16_peak_pct": round(100.0 * achieved / V5E_BF16_PEAK_FLOPS,
                                    3),
+        "pct_of_vpu_ceiling": pct_vpu,
         "large_n": ({"B": 256, "N": 512, "noise": "pinned",
                      "evals_per_s": round(large_n, 2)}
                     if large_n else None),

@@ -33,9 +33,11 @@ PANELS = [
      ["branin_ablation_points_n256_tpu.json",
       "branin_ablation_points_tpu_s128.json"]),
     ("Hartmann 6D", "Num. meta-tasks ($M$)",
-     "hm6_ablation_tasks_tpu.json", []),
+     "hm6_ablation_tasks_tpu.json",
+     ["hm6_ablation_tasks_tpu_s128.json"]),
     ("Hartmann 6D", "Num. obs. per task ($N_m$)",
-     "hm6_ablation_points_tpu.json", []),
+     "hm6_ablation_points_tpu.json",
+     ["hm6_ablation_points_tpu_s128.json"]),
 ]
 
 
