@@ -452,8 +452,13 @@ def run_campaign(benchmark_fn: Callable, task_params, meta_data: m.TaskData,
                         None, num_restarts=meta_fit_restarts,
                         num_steps=meta_fit_steps, task_keys=all_keys[sl],
                         mll_method=cfg.mll_method)
-                    # serialize: keep only one chunk's fit program resident
-                    jax.block_until_ready(part)
+                    # serialize: keep only one chunk's fit program resident.
+                    # NOTE a host VALUE fetch, not block_until_ready — on the
+                    # axon tunnel only value fetches force execution, and a
+                    # deep chain of deferred chunk fits is exactly the
+                    # degraded-tunnel stall shape (docs/VALIDATION.md, axon
+                    # stall section)
+                    _ = float(part.alpha.ravel()[0])
                     parts.append(part)
                 flat_stack = jax.tree_util.tree_map(
                     lambda *ls: jnp.concatenate(ls, axis=0), *parts)
