@@ -188,7 +188,7 @@ def campaign_inputs_from_benchmark(benchmark_cls, n_data_per_task,
 def campaign_to_study_results(benchmark_cls, n_data_per_task, study_seeds,
                               result, optima,
                               objective_name: str = "loss",
-                              noisy: bool = True):
+                              noisy: bool = True, space=None):
     """Convert a ``CampaignResult`` to the study-runner's per-study result
     dicts (``local_runner.run_study`` schema), so campaign output flows into
     the same regret analytics / ``grouped_results`` plotting as host-runner
@@ -206,8 +206,9 @@ def campaign_to_study_results(benchmark_cls, n_data_per_task, study_seeds,
     y_clean = np.asarray(result.y_clean)
     optima = np.asarray(optima)
 
-    space = benchmark_cls(n_data_per_task=list(n_data_per_task),
-                          seed=0).search_space
+    if space is None:
+        space = benchmark_cls(n_data_per_task=list(n_data_per_task),
+                              seed=0).search_space
     studies = []
     for si, seed in enumerate(study_seeds):
         evaluations = []

@@ -154,6 +154,76 @@ def _submit_via_campaign(optimizer_kwargs, benchmark_cls, benchmark_kwargs,
         persist(study)
 
 
+def _tabular_campaign_routable(optimizer_cls, optimizer_kwargs,
+                               benchmark_cls, benchmark_kwargs,
+                               noise_spec) -> bool:
+    """Whether a tabular experiment can run through the device-resident
+    table campaign (``benchmarking/tabular_adapters.py``): default
+    ScaMLGPBO, no noise model (the published tabular configs have none),
+    and — for grid tables — a fully discrete free search space, so the
+    device bin arithmetic is in exact parity with the host driver's
+    ``from_numerical`` snapping."""
+    from scamlgp_tpu.bo.optimizer import ScaMLGPBO
+    from scamlgp_tpu.bo.space import CategoricalParameter, IntegerParameter
+
+    if (optimizer_cls is not ScaMLGPBO
+            or not set(optimizer_kwargs) <= {"fit_method"}
+            or noise_spec is not None):
+        return False
+    name = benchmark_cls.__name__
+    if name == "PD1":
+        return True
+    if name not in ("FCNetFixedFidelityTabularBenchmark", "HPOBenchTabular"):
+        return False
+    try:
+        b = benchmark_cls(seed=0, **benchmark_kwargs)
+    except Exception:
+        return False  # data blobs absent -> host runner reports the error
+    return all(isinstance(p, (CategoricalParameter, IntegerParameter))
+               for p in b.search_space._params
+               if p.name not in b.search_space.fixed)
+
+
+def _submit_via_tabular_campaign(optimizer_kwargs, benchmark_cls,
+                                 benchmark_kwargs, n_evaluations: int,
+                                 n_studies: int, persist) -> None:
+    """Run a tabular experiment as one vectorized on-device campaign: the
+    lookup tables ride in ``task_params`` and every evaluation is a gather
+    (grid benchmarks) or masked L1-argmin (PD1) on device."""
+    import jax
+
+    from scamlgp_tpu.benchmarking.jax_adapters import (
+        campaign_to_study_results,
+    )
+    from scamlgp_tpu.benchmarking.tabular_adapters import (
+        campaign_inputs_from_grid_tabular,
+        campaign_inputs_from_pd1,
+    )
+    from scamlgp_tpu.parallel.campaign import CampaignConfig, run_campaign
+
+    def factory(seed):
+        return benchmark_cls(seed=seed, **benchmark_kwargs)
+
+    seeds = list(range(n_studies))
+    if benchmark_cls.__name__ == "PD1":
+        fn, tps, md, optima = campaign_inputs_from_pd1(factory, seeds)
+    else:
+        fn, tps, md, optima = campaign_inputs_from_grid_tabular(
+            factory, seeds)
+
+    cfg = CampaignConfig(
+        n_evaluations=n_evaluations, noise_std=0.0,
+        fit_method=optimizer_kwargs.get("fit_method", "map"))
+    result = run_campaign(fn, tps, md, jax.random.PRNGKey(0), cfg=cfg)
+    b0 = factory(0)
+    studies = campaign_to_study_results(
+        benchmark_cls, [], seeds, result, optima,
+        objective_name=b0.objectives[0].name, noisy=False,
+        space=b0.search_space)
+    for study in studies:
+        persist(study)
+
+
 def _environment_info() -> Dict[str, str]:
     env = {}
     for dist in importlib.metadata.distributions():
@@ -259,6 +329,18 @@ def main(config: Experiment, experiment_module: str, experiment_key: str,
                              benchmark_kwargs, noise_spec,
                              config.n_evaluations, config.n_studies,
                              _persist)
+        return output_dir
+    if (not force_host_runner and jax.default_backend() != "cpu"
+            and _tabular_campaign_routable(optimizer_cls, optimizer_kwargs,
+                                           benchmark_cls, benchmark_kwargs,
+                                           noise_spec)):
+        logger.warning(
+            "submit %s: routing through the device-resident TABLE campaign "
+            "(backend=%s, fit_method=%s)", experiment_key,
+            jax.default_backend(), optimizer_kwargs.get("fit_method", "map"))
+        _submit_via_tabular_campaign(optimizer_kwargs, benchmark_cls,
+                                     benchmark_kwargs, config.n_evaluations,
+                                     config.n_studies, _persist)
         return output_dir
     reason = ("--host-runner requested" if force_host_runner
               else "CPU backend" if jax.default_backend() == "cpu"

@@ -141,3 +141,57 @@ def test_fcnet_device_campaign_end_to_end(fcnet_files):
     for v in y.ravel():
         assert np.min(np.abs(table - v)) < 1e-5
     assert np.all(res.y == res.y_clean)  # noise-free campaign
+
+
+def test_submit_routes_fcnet_through_table_campaign(fcnet_files, tmp_path,
+                                                    monkeypatch, caplog):
+    """On a non-CPU backend, ``submit`` of a default-optimizer FCNet
+    experiment routes through the device-resident table campaign and
+    persists the standard per-seed result layout."""
+    import json
+    import logging
+
+    import jax as jax_mod
+
+    from scamlgp_tpu.benchmarking.benchmarks import (
+        fcnet_fixed_fidelity_tabular as fc,
+    )
+    from scamlgp_tpu.benchmarking.experiment_config_utils import Experiment
+    from scamlgp_tpu.benchmarking.local_runner import main as runner_main
+    from scamlgp_tpu.bo.optimizer import ScaMLGPBO
+
+    target, metas, expected = fcnet_files
+    config = Experiment(
+        optimizer=ScaMLGPBO,
+        benchmark={
+            "cls": fc.FCNetFixedFidelityTabularBenchmark,
+            "kwargs": {
+                "target_task_file": target,
+                "meta_task_files": metas[:1],
+                "n_data_per_task": [4],
+                "fix_search_space": FCNET_FIXED,
+            },
+        },
+        n_evaluations=3, n_studies=2, compute="LOCAL")
+
+    # the fast-path gate checks the backend name; the campaign itself is
+    # backend-agnostic, so pretend we're on a chip
+    monkeypatch.setattr(jax_mod, "default_backend", lambda: "tpu")
+    with caplog.at_level(logging.WARNING, logger="scamlgp_tpu.runner"):
+        out_dir = runner_main(config=config, experiment_module=(
+            "scamlgp_tpu.benchmarking.configurations.test_exp"),
+            experiment_key="FCNET_DEV", max_workers=1,
+            output_root=tmp_path / "root")
+    assert any("TABLE campaign" in r.message for r in caplog.records)
+
+    study_files = [p for p in out_dir.glob("*.json")
+                   if p.name != "info.json"]
+    assert len(study_files) == 2
+    payload = json.loads(study_files[0].read_text())
+    (study,) = payload["studies"]
+    assert len(study["evaluations"]) == 3
+    for ev in study["evaluations"]:
+        key = fc.FCNetFixedFidelityTabularBenchmark._lut_key(
+            ev["configuration"])
+        assert ev["objectives"]["valid_loss"] == pytest.approx(
+            expected[key])
