@@ -47,12 +47,17 @@ def test_advi_deterministic_given_key():
                                   np.asarray(q2.log_sigma))
 
 
-def test_scamlgp_vi_moments_match_hmc(rng):
+def test_scamlgp_vi_moments_match_hmc():
     """VI and HMC target the same raw-space posterior.  Parameter-space
     moments are not comparable when the weight posterior has a ridge, so the
     contract checked here is the one the BO loop consumes: the posterior
     *mixture predictive* moments at held-out points agree within mean-field
-    tolerance."""
+    tolerance.
+
+    Fixed data seed: this is a statistical moment comparison with finite-MC
+    tolerances, not a behavioral contract — on a random per-test seed it
+    flakes on unlucky draws (~1 in 20 sessions)."""
+    rng = np.random.default_rng(7)
     xs = [rng.uniform(size=(16, 1)) for _ in range(2)]
     # one informative source (same function as target), one distractor —
     # identifies the weight posterior
