@@ -107,11 +107,15 @@ def main():
     optima = tables.min(axis=1)
     setup_s = time.time() - t0
 
+    print(json.dumps({"setup_s": round(setup_s, 1)}), flush=True)
+    os.environ.setdefault("SCAMLGP_ITER_DEBUG", "1")
     cfg = CampaignConfig(n_evaluations=E, noise_std=0.0)
     t1 = time.time()
+    ckpt = ".tpuq/ckpt/tabular_campaign" if os.path.isdir(".tpuq") else None
     res = run_campaign(fn, task_params, meta, jax.random.PRNGKey(0),
                        cfg=cfg, meta_fit_chunks=args.meta_fit_chunks,
-                       study_chunk=args.study_chunk)
+                       study_chunk=args.study_chunk,
+                       checkpoint_path=ckpt)
     reg = np.asarray(simple_regret(res.y_clean, optima))
     run_s = time.time() - t1
 
