@@ -35,6 +35,12 @@ def main():
     ap.add_argument("--studies", type=int, default=256)
     ap.add_argument("--meta-fit-chunks", type=int, default=32)
     ap.add_argument("--study-chunk", type=int, default=None)
+    ap.add_argument("--mll-method", default="chol", choices=["chol", "sweep"],
+                    help="fit-objective factorization: 'sweep' routes every "
+                         "refit MLL through the Pallas inverse kernels "
+                         "(analytic VJP) -- the latency-bound serial "
+                         "L-BFGS/linesearch steps are XLA-Cholesky-bound "
+                         "at 'chol'")
     ap.add_argument("--cpu", type=int, default=0)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -109,19 +115,24 @@ def main():
 
     print(json.dumps({"setup_s": round(setup_s, 1)}), flush=True)
     os.environ.setdefault("SCAMLGP_ITER_DEBUG", "1")
-    cfg = CampaignConfig(n_evaluations=E, noise_std=0.0)
+    cfg = CampaignConfig(n_evaluations=E, noise_std=0.0,
+                         mll_method=args.mll_method)
     t1 = time.time()
-    ckpt = ".tpuq/ckpt/tabular_campaign" if os.path.isdir(".tpuq") else None
+    ckpt = (f".tpuq/ckpt/tabular_campaign_{args.mll_method}"
+            if os.path.isdir(".tpuq") else None)
     res = run_campaign(fn, task_params, meta, jax.random.PRNGKey(0),
                        cfg=cfg, meta_fit_chunks=args.meta_fit_chunks,
                        study_chunk=args.study_chunk,
                        checkpoint_path=ckpt)
     reg = np.asarray(simple_regret(res.y_clean, optima))
     run_s = time.time() - t1
+    if ckpt and os.path.exists(ckpt + ".npz"):
+        os.remove(ckpt + ".npz")
 
     seq_driver_it_s = 0.503  # docs/SEQ_DRIVER_TPU.json median iteration
     out = {
         "backend": jax.default_backend(),
+        "mll_method": args.mll_method,
         "levels": levels, "tasks": M, "points": N,
         "evals": E, "studies": S,
         "setup_s": round(setup_s, 1),
