@@ -4,25 +4,19 @@ ground-truth ``optimum`` stays noise-free (behavior of reference
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Union
-
 import numpy as np
 
-from scamlgp_tpu.benchmarking.benchmarks.api import SeedType
 from scamlgp_tpu.benchmarking.benchmarks.base import Base
-from scamlgp_tpu.benchmarking.noise.base import NoiseBase
-from scamlgp_tpu.bo.core import Evaluation, EvaluationSpecification
 
 
-def _forward(attr: str, doc: str):
+def _forward(attr, doc):
     """Read-only property delegating to the wrapped noise-free benchmark."""
-    return property(lambda self: getattr(self.noise_free_benchmark, attr),
-                    doc=doc)
+    return property(lambda self: getattr(self._clean, attr), doc=doc)
 
 
 class NoisyBenchmark(Base):
-    """Wrap ``benchmark`` so every evaluation (and every meta-data
-    objective) gets ``noise_model`` applied.
+    """Wrap a benchmark so every evaluation (and every meta-data objective)
+    gets a noise model applied.
 
     The task structure, search space, and objectives are those of the
     wrapped benchmark; regret computations keep working because the
@@ -30,12 +24,17 @@ class NoisyBenchmark(Base):
     unchanged.
     """
 
-    def __init__(self, benchmark: Base, noise_model: NoiseBase):
-        self.noise_free_benchmark = benchmark
-        self.noise_model = noise_model
-        for clean_attr in ("optimum", "pareto_front"):
-            if hasattr(benchmark, clean_attr):
-                setattr(self, clean_attr, getattr(benchmark, clean_attr))
+    def __init__(self, benchmark, noise_model):
+        self._clean = benchmark
+        self._noise = noise_model
+        for ground_truth in ("optimum", "pareto_front"):
+            if hasattr(benchmark, ground_truth):
+                setattr(self, ground_truth, getattr(benchmark, ground_truth))
+
+    @property
+    def noise_free_benchmark(self):
+        """The wrapped noise-free benchmark itself."""
+        return self._clean
 
     target_task = _forward("target_task", "Target task (noise-free).")
     meta_tasks = _forward("meta_tasks", "Meta tasks (noise-free).")
@@ -44,20 +43,21 @@ class NoisyBenchmark(Base):
     output_dimensions = _forward("output_dimensions",
                                  "Wrapped output dimensionality.")
 
-    def __call__(self, eval_spec: EvaluationSpecification,
-                 task_uid: Optional[Union[str, int]] = None) -> Evaluation:
-        clean = self.noise_free_benchmark(eval_spec=eval_spec,
-                                          task_uid=task_uid)
-        return self.noise_model(clean)
+    @property
+    def noise_model(self):
+        return self._noise
 
-    def get_meta_data(self, distribution: str,
-                      seed: Optional[SeedType] = None
-                      ) -> Dict[Union[str, int], List[Evaluation]]:
+    def __call__(self, eval_spec, task_uid=None):
+        return self._noise(self._clean(eval_spec=eval_spec,
+                                       task_uid=task_uid))
+
+    def get_meta_data(self, distribution, seed=None):
         """Meta-data with noise drawn from ONE rng shared across all tasks
         and evaluations (so task order does not reshuffle the noise stream
         — reference ``noise/benchmark.py:55-76``)."""
         rng = np.random.default_rng(seed)
-        clean = self.noise_free_benchmark.get_meta_data(
-            distribution=distribution, seed=rng)
-        return {uid: [self.noise_model(ev, rng) for ev in evs]
-                for uid, evs in clean.items()}
+        out = {}
+        for uid, evals in self._clean.get_meta_data(
+                distribution=distribution, seed=rng).items():
+            out[uid] = [self._noise(ev, rng) for ev in evals]
+        return out
