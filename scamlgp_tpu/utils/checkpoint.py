@@ -18,14 +18,25 @@ import numpy as np
 
 
 def save_pytree(path, tree: Any) -> None:
-    """Serialize an arbitrary array pytree to ``<path>.npz`` + treedef json."""
+    """Serialize an arbitrary array pytree to ``<path>.npz`` + treedef json.
+
+    Writes are atomic (temp file + ``os.replace``): checkpoints are taken
+    under pre-emption/timeout kills, and a truncated ``.npz`` would
+    otherwise poison every subsequent resume attempt."""
+    import os
+
     path = Path(path)
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(str(path) + ".npz", **arrays)
-    with open(str(path) + ".tree.json", "w") as fh:
+    # temp name must end in ".npz" or np.savez appends the suffix itself
+    tmp = str(path) + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, str(path) + ".npz")
+    tmp_tree = str(path) + ".tree.json.tmp"
+    with open(tmp_tree, "w") as fh:
         json.dump({"treedef": str(treedef), "num_leaves": len(leaves)}, fh)
+    os.replace(tmp_tree, str(path) + ".tree.json")
 
 
 def load_leaves(path) -> List[np.ndarray]:
