@@ -148,7 +148,20 @@ def torch_cpu_baseline():
 
 
 def main():
-    tpu = tpu_throughput()
+    try:
+        tpu = tpu_throughput()
+    except Exception:
+        # Sporadic infra-level device faults (UNAVAILABLE) wedge the whole
+        # backend in-process; a fresh process re-establishes the tunnel.
+        # Re-exec up to 3 times before giving up.
+        import os
+        import sys
+        attempt = int(os.environ.get("SCAMLGP_BENCH_ATTEMPT", "0"))
+        if attempt >= 3:
+            raise
+        os.environ["SCAMLGP_BENCH_ATTEMPT"] = str(attempt + 1)
+        time.sleep(30 * (attempt + 1))
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     try:
         large_n = tpu_throughput(B=256, N=512, rounds=10, pin_noise=True)
     except Exception:
