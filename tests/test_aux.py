@@ -42,6 +42,23 @@ def test_pytree_checkpoint_roundtrip(tmp_path):
                                   np.ones((2, 3)))
 
 
+def test_pytree_checkpoint_atomic(tmp_path):
+    """Saves are temp-file + rename: no *.tmp* litter, and an overwrite of
+    an existing checkpoint either fully lands or leaves the old one."""
+    import os
+
+    import jax.numpy as jnp
+
+    tree = {"a": jnp.arange(4.0)}
+    checkpoint.save_pytree(tmp_path / "ck", tree)
+    tree2 = {"a": jnp.arange(4.0) * 2}
+    checkpoint.save_pytree(tmp_path / "ck", tree2)  # overwrite in place
+    assert sorted(os.listdir(tmp_path)) == ["ck.npz", "ck.tree.json"]
+    restored = checkpoint.load_pytree_like(tmp_path / "ck", tree)
+    np.testing.assert_array_equal(np.asarray(restored["a"]),
+                                  np.arange(4.0) * 2)
+
+
 def _forrester_space(seed):
     space = ParameterSpace()
     space.add(ContinuousParameter("x", (0.0, 1.0)))
